@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Evaluation / inference entry point (counterpart of evaluation.py).
+
+Usage:
+    python evaluate.py configs/infer.yaml [more.yaml ...] [key=value ...]
+
+Per scene: forward pass (fine stage on), PSNR/SSIM(/LPIPS if weights are
+available) on the novel-view crop, optional depth metrics, optional orbit
+video, optional TSDF mesh; metrics JSON-dumped per scene + means
+(evaluation.py:30-176)."""
+
+import json
+import os
+import sys
+
+for var in ("MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS", "OMP_NUM_THREADS",
+            "VECLIB_MAXIMUM_THREADS", "OPENBLAS_NUM_THREADS"):
+    os.environ.setdefault(var, "4")
+
+import numpy as np
+
+
+def main(argv=None):
+    from lara_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from lara_tpu.config import load_config
+    from lara_tpu.data import DataLoader, dataset_dict
+    from lara_tpu.eval.metrics import abs_error, acc_threshold, psnr, ssim
+    from lara_tpu.models import LaRaNet
+    from lara_tpu.train import checkpoint as ckpt
+    from train import parse_args
+
+    paths, overrides = parse_args(argv if argv is not None else sys.argv[1:])
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(here, "configs", "base.yaml")
+    infer_base = os.path.join(here, "configs", "infer.yaml")
+    cfg = load_config(base, infer_base, *paths, overrides=overrides)
+
+    ds = dataset_dict[cfg.infer_dataset.dataset_name](cfg.infer_dataset)
+    loader = DataLoader(ds, cfg.infer_dataset.batch_size, shuffle=False,
+                        num_workers=cfg.infer_dataset.num_workers, drop_last=False)
+
+    net = LaRaNet(cfg)
+    sample = next(iter(loader))
+    arrays = {k: jnp.asarray(v) for k, v in sample.items() if k != "meta"}
+    params = net.init(jax.random.PRNGKey(0), arrays, with_fine=True, train=False)
+    if cfg.infer.ckpt_path:
+        params = ckpt.restore_params(cfg.infer.ckpt_path)
+        print(f"restored params from {cfg.infer.ckpt_path}")
+
+    lpips_fn = _try_load_lpips()
+    fwd = jax.jit(lambda p, b: net.apply(
+        p, b, with_fine=True, train=False,
+        return_buffer=cfg.infer.video_frames > 0 or cfg.infer.save_mesh))
+
+    os.makedirs(cfg.infer.save_folder, exist_ok=True)
+    os.makedirs(cfg.infer.metric_path, exist_ok=True)
+    n_view = cfg.n_views
+    names, psnrs, ssims, lpipss, depth_accs = [], [], [], [], []
+
+    for i, batch in enumerate(loader):
+        arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "meta"}
+        out = fwd(params, arrays)
+        name = str(batch["meta"][0]["scene"]).split(".")[0]
+
+        img_key = "image_fine" if "image_fine" in out else "image"
+        pred = np.asarray(out[img_key][0])          # [N,H,W,3]
+        gt = np.asarray(batch["tar_rgb"][0])
+
+        if cfg.infer.eval_novel_view_only:
+            pred_m, gt_m = pred[n_view:], gt[n_view:]
+        else:
+            pred_m, gt_m = pred, gt
+        if pred_m.size:
+            flat_p = pred_m.reshape(-1, *pred_m.shape[2:])
+            flat_g = gt_m.reshape(-1, *gt_m.shape[2:])
+            psnrs.append(psnr(flat_p, flat_g))
+            ssims.append(np.mean([ssim(p, g) for p, g in zip(pred_m, gt_m)]))
+            if lpips_fn is not None:
+                lpipss.append(float(np.mean([lpips_fn(p, g) for p, g in zip(pred_m, gt_m)])))
+
+        if len(cfg.infer.eval_depth) and "tar_dep" in batch:
+            dep_key = "depth_fine" if "depth_fine" in out else "depth"
+            dp = np.asarray(out[dep_key][0, ..., 0])
+            dg = np.asarray(batch["tar_dep"][0])
+            mask = np.asarray(batch["tar_msk"][0]).astype(bool)
+            accs = [float(abs_error(dp, dg, mask).mean())]
+            accs += [float(acc_threshold(dp, dg, mask, t).mean())
+                     for t in cfg.infer.eval_depth]
+            depth_accs.append(accs)
+
+        if i < 100:
+            _save_panel(os.path.join(cfg.infer.save_folder, f"{name}.jpg"), gt, pred)
+
+        if cfg.infer.video_frames > 0 or cfg.infer.save_mesh:
+            from lara_tpu.eval.render_artifacts import render_video, extract_mesh
+            gauss = jax.tree.map(lambda a: a[0], out["render_pkg"]["fine"])
+            tm = np.asarray(batch["transform_mats"][0]).reshape(4, 4)
+            if cfg.infer.video_frames > 0:
+                render_video(
+                    os.path.join(cfg.infer.save_folder, f"{name}_video.mp4"),
+                    gauss, cfg, tm, n_frames=cfg.infer.video_frames)
+            if cfg.infer.save_mesh:
+                extract_mesh(os.path.join(cfg.infer.save_folder, f"{name}.obj"),
+                             gauss, cfg, tm)
+
+        names.append(name)
+        print(f"[{i+1}/{len(loader)}] {name} psnr={psnrs[-1] if psnrs else float('nan'):.2f}")
+
+    metrics = {
+        "scenes": names,
+        "psnr": psnrs, "ssim": ssims, "lpips": lpipss,
+        "depth": depth_accs,
+        "mean_psnr": float(np.mean(psnrs)) if psnrs else None,
+        "mean_ssim": float(np.mean(ssims)) if ssims else None,
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "mean_depth": np.mean(depth_accs, axis=0).tolist() if depth_accs else None,
+    }
+    out_path = os.path.join(cfg.infer.metric_path,
+                            f"{cfg.infer_dataset.dataset_name}.json")
+    with open(out_path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(f"metrics -> {out_path}")
+    if metrics["mean_psnr"] is not None:
+        print(f"mean PSNR {metrics['mean_psnr']:.3f}  mean SSIM {metrics['mean_ssim']:.4f}")
+    return metrics
+
+
+def _try_load_lpips():
+    """LPIPS needs pretrained VGG/Alex weights; return None if unavailable
+    offline (the architecture lives in lara_tpu/eval/lpips.py)."""
+    try:
+        from lara_tpu.eval.lpips import load_lpips
+        return load_lpips()
+    except Exception:
+        return None
+
+
+def _save_panel(path, gt, pred):
+    import cv2
+
+    row_gt = np.concatenate(list(gt), axis=1)
+    row_pr = np.concatenate(list(pred), axis=1)
+    panel = np.concatenate([row_gt, row_pr], axis=0)
+    cv2.imwrite(path, (panel[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+
+
+if __name__ == "__main__":
+    main()

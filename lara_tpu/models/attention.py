@@ -1,0 +1,72 @@
+"""Multi-head (cross-)attention with torch.nn.MultiheadAttention semantics.
+
+The reference uses torch MHA in three places, always batch_first and without
+attention masks:
+  - GroupAttBlock.cross_attn (embed 256, kdim=vdim=800, 16 heads, bias=False;
+    lightning/network.py:65-67)
+  - Decoder.cross_att (embed 80, kdim=vdim=8, 8 heads, bias=False;
+    lightning/network.py:235-237)
+  - the ViT encoder's self-attention (qkv bias=True).
+
+Torch packs q/k/v when dims match; functionally that is three Dense layers,
+which is what we use. Scaling is 1/sqrt(head_dim).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int
+    kv_dim: Optional[int] = None   # kdim=vdim; defaults to dim (self-attn)
+    use_bias: bool = False
+    out_bias: Optional[bool] = None  # torch MHA out_proj bias follows `bias`
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None):
+        """q_in [B, Lq, dim]; kv_in [B, Lk, kv_dim] (None → self-attention)."""
+        if kv_in is None:
+            kv_in = q_in
+        h = self.num_heads
+        hd = self.dim // h
+        out_bias = self.use_bias if self.out_bias is None else self.out_bias
+        dense = lambda name, bias: nn.Dense(
+            self.dim, use_bias=bias, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name=name)
+        q = dense("q_proj", self.use_bias)(q_in)
+        k = dense("k_proj", self.use_bias)(kv_in)
+        v = dense("v_proj", self.use_bias)(kv_in)
+
+        bq, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        q = q.reshape(bq, lq, h, hd)
+        k = k.reshape(bq, lk, h, hd)
+        v = v.reshape(bq, lk, h, hd)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(self.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(bq, lq, self.dim)
+        return dense("out_proj", out_bias)(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(), name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(), name="fc2")(x)
+        return x

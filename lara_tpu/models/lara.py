@@ -1,0 +1,272 @@
+"""LaRa network: multi-view images → 2D Gaussian surfels → rendered views.
+
+TPU-native counterpart of lightning/network.py:286-533 (`Network`). The
+reference's per-(batch, view) Python render loop (lines 473-527, 24 CUDA
+launches per step) becomes a vmapped fixed-shape render over [B, N]; the
+reference's dynamic boolean masking of fine-stage surfels (lines 465,479,
+504-511 + `_check_mask` 381-388) becomes a static top-M-by-opacity selection
+(`fine_budget`), which keeps every shape static under jit.
+
+Constants reproduced exactly: scene_size=0.5 (line 291), opacity_shift
+=-2.1792, voxel_size=2/(2·grid_reso), scaling_shift=log(0.5·voxel/3)
+(lines 340-342), offset half-cell = 0.5·scene_size/n_offset_groups
+(lines 425-429).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lara_tpu.config import Config
+from lara_tpu.models.decoder import CoarseDecoder, FineDecoder
+from lara_tpu.models.vit import DinoViT
+from lara_tpu.models.volume import ModLN, VolTransformer
+from lara_tpu.ops.grid_sample import grid_sample_2d
+from lara_tpu.ops.rasterizer import RasterizeConfig
+from lara_tpu.ops.renderer import render_view
+from lara_tpu.utils.camera import Camera, invert_rigid, ray_to_plucker
+from lara_tpu.utils.sh import rsh_cart_3
+
+
+def build_dense_grid(reso: int, scene_size: float) -> jnp.ndarray:
+    """Voxel-center grid [reso³, 3] in [-scene_size, scene_size]
+    (lightning/network.py:345-349; row-major over (x, y, z) axes)."""
+    ax = (jnp.arange(reso, dtype=jnp.float32) + 0.5) / reso * 2.0 - 1.0
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * scene_size
+
+
+def make_cameras(c2ws: jnp.ndarray, fovx, fovy, near, far) -> Camera:
+    """Batched Camera pytree from c2w poses [..., 4, 4] and per-scene scalars
+    (MiniCam equivalent, incl. the campos=-c2w[:3,3] quirk of
+    lightning/utils.py:48)."""
+    w2c = invert_rigid(c2ws)
+    shape = c2ws.shape[:-2]
+    return Camera(
+        w2c=w2c,
+        campos=-c2ws[..., :3, 3],
+        tanfovx=jnp.broadcast_to(jnp.tan(0.5 * fovx), shape),
+        tanfovy=jnp.broadcast_to(jnp.tan(0.5 * fovy), shape),
+        near=jnp.broadcast_to(near, shape),
+        far=jnp.broadcast_to(far, shape),
+    )
+
+
+class LaRaNet(nn.Module):
+    cfg: Config
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        m = self.cfg.model
+        self.img_encoder = DinoViT(
+            patch_size=m.patch_size, dim=m.encoder_dim, depth=m.encoder_depth,
+            num_heads=m.encoder_heads, dtype=self.dtype, name="img_encoder")
+        self.dir_norm = ModLN(m.encoder_dim, dtype=self.dtype, name="dir_norm")
+        if m.view_embed_dim > 0:
+            self.view_embed = self.param(
+                "view_embed",
+                nn.initializers.normal(1.0 / m.view_embed_dim ** 0.5),
+                (1, 4, m.view_embed_dim), jnp.float32)
+        self.vol_decoder = VolTransformer(
+            embed_dim=m.embedding_dim,
+            image_feat_dim=m.encoder_dim + m.view_embed_dim,
+            vol_low_res=m.vol_embedding_reso,
+            out_dim=m.vol_embedding_out_dim,
+            n_groups=m.n_groups, num_layers=m.num_layers, num_heads=m.num_heads,
+            dtype=self.dtype, name="vol_decoder")
+        self.sh_dim = (m.sh_degree + 1) ** 2 * 3
+        self.decoder_coarse = CoarseDecoder(
+            in_dim=m.vol_embedding_out_dim, sh_dim=self.sh_dim, K=m.K,
+            dtype=self.dtype, name="decoder_coarse")
+        self.decoder_fine = FineDecoder(
+            in_dim=m.vol_embedding_out_dim, sh_dim=self.sh_dim,
+            dtype=self.dtype, name="decoder_fine")
+
+        self.opacity_shift = -2.1792
+        self.voxel_size = 2.0 / (m.vol_embedding_reso * 2)
+        self.scaling_shift = math.log(0.5 * self.voxel_size / 3.0)
+
+    def _render_cfg(self, H: int, W: int, train: bool) -> RasterizeConfig:
+        r = self.cfg.render
+        return RasterizeConfig(
+            height=H, width=W, tile=r.tile, dup=r.dup,
+            tile_budget=r.tile_budget if train else r.eval_tile_budget,
+            tile_chunk=r.tile_chunk, sh_degree=self.cfg.model.sh_degree,
+            backend=r.backend)
+
+    def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
+        """imgs [BV, H, W, 3], rays_down [BV, h, w, 6] (h = H/16) →
+        direction-modulated feature maps [BV, h, w, C]
+        (lightning/network.py:443-445 + 362-371)."""
+        bv, h, w, _ = imgs.shape
+        tokens = self.img_encoder(imgs)                      # [BV, L, C]
+        th, tw = h // self.cfg.model.patch_size, w // self.cfg.model.patch_size
+        feats = tokens.reshape(bv, th, tw, -1)
+
+        plucker = ray_to_plucker(rays_down)
+        dir_feat = jnp.concatenate(
+            [rsh_cart_3(plucker[..., :3]), rsh_cart_3(plucker[..., 3:6])], axis=-1)
+        return self.dir_norm(feats, dir_feat)                # [BV, th, tw, C]
+
+    def build_feat_vol(self, feats: jnp.ndarray, w2cs: jnp.ndarray,
+                       ixts: jnp.ndarray, img_hw) -> jnp.ndarray:
+        """Sample per-view features at projected voxel centers
+        (lightning/network.py:352-379). feats [BV, th, tw, C] →
+        [BV, D, D, D, C] with D = vol_feat_reso."""
+        reso = self.cfg.model.vol_feat_reso
+        grid_pts = build_dense_grid(reso, self.cfg.model.scene_size)
+        h, w = img_hw
+        wh = jnp.asarray([w, h], jnp.float32)
+
+        def sample_one(feat_hw, w2c, ixt):
+            cam = grid_pts @ w2c[:3, :3].T + w2c[:3, 3]
+            img = cam @ ixt.T
+            xy = img[:, :2] / img[:, 2:3]
+            gridc = (xy + 0.5) / wh * 2.0 - 1.0
+            fchw = jnp.moveaxis(feat_hw.astype(jnp.float32), -1, 0)
+            return grid_sample_2d(fchw, gridc)               # [P, C]
+
+        sampled = jax.vmap(sample_one)(feats, w2cs, ixts)    # [BV, P, C]
+        return sampled.reshape(sampled.shape[0], reso, reso, reso, -1).astype(feats.dtype)
+
+    def __call__(self, batch: Dict, with_fine: bool = False, train: bool = False,
+                 return_buffer: bool = False) -> Dict:
+        """batch follows the reference schema (SURVEY.md §1 L2 contract);
+        returns per-view maps stacked as [B, N, H, W, ...] plus `_fine`
+        variants when with_fine."""
+        m = self.cfg.model
+        tar_rgb = batch["tar_rgb"]
+        B, N, H, W, _ = tar_rgb.shape
+        n_in = self.cfg.n_views
+
+        imgs = tar_rgb[:, :n_in].reshape(B * n_in, H, W, 3)
+        rays_down = batch["tar_rays_down"][:, :n_in]
+        rays_down = rays_down.reshape(B * n_in, *rays_down.shape[2:])
+        feats = self.encode_images(imgs, rays_down)
+
+        w2cs = batch["tar_w2c"][:, :n_in].reshape(-1, 4, 4)
+        ixts = batch["tar_ixt"][:, :n_in].reshape(-1, 3, 3)
+        feat_vol = self.build_feat_vol(feats, w2cs, ixts, (H, W))  # [BV,D,D,D,C]
+        reso = m.vol_feat_reso
+        feat_vol = feat_vol.reshape(B, n_in, reso, reso, reso, -1)
+
+        if m.view_embed_dim > 0:
+            ve = jnp.broadcast_to(
+                self.view_embed[:, :n_in, None, None, None, :],
+                (B, n_in, reso, reso, reso, m.view_embed_dim)).astype(feat_vol.dtype)
+            feat_vol = jnp.concatenate([feat_vol, ve], axis=-1)
+
+        volume = self.vol_decoder(feat_vol)                  # [B, 2R, 2R, 2R, out]
+        volume_feat_up = volume.reshape(B, -1, m.vol_embedding_out_dim)
+
+        offset, sh_c, scaling_c, rotation_c, opacity_c = self.decoder_coarse(
+            volume_feat_up, self.opacity_shift, self.scaling_shift)
+
+        # Offsets live inside their voxel cell (lightning/network.py:425-429).
+        group_centers = build_dense_grid(m.vol_embedding_reso * 2, m.scene_size)
+        half_cell = 0.5 * m.scene_size / m.n_offset_groups
+        # voxel v owns surfel rows v*K .. v*K+K-1
+        centers_c = (
+            group_centers[None, :, None, :] + offset.reshape(B, -1, m.K, 3) * half_cell
+        ).reshape(B, -1, 3)
+
+        cams = make_cameras(
+            batch["tar_c2w"], batch["fovx"][:, None], batch["fovy"][:, None],
+            batch["near_far"][:, None, 0], batch["near_far"][:, None, 1])
+        rcfg = self._render_cfg(H, W, train)
+        rays_full = batch["tar_rays"]
+        bg_colors = batch["bg_color"].astype(jnp.float32)
+
+        def render_bn(cam, rays, bg, gauss):
+            c, s, o, sc, q = gauss
+            return render_view(cam, rays, c, s, o, sc, q, bg, rcfg)
+
+        # vmap over views (shared surfels), then over batch.
+        render_views = jax.vmap(render_bn, in_axes=(0, 0, 0, None))
+        render_batch = jax.vmap(render_views, in_axes=(0, 0, 0, 0))
+
+        gauss_c = (centers_c, sh_c, opacity_c, scaling_c, rotation_c)
+        out = render_batch(cams, rays_full, bg_colors, gauss_c)  # [B,N,H,W,...]
+
+        outputs = dict(out)
+        buffers = {}
+        if return_buffer:
+            buffers["coarse"] = gauss_c
+
+        if with_fine:
+            fine = self._fine_stage(
+                batch, out, volume_feat_up, centers_c, sh_c, opacity_c,
+                scaling_c, rotation_c, n_in, (H, W))
+            gauss_f = fine
+            out_f = render_batch(cams, rays_full, bg_colors, gauss_f)
+            outputs.update({f"{k}_fine": v for k, v in out_f.items()})
+            if return_buffer:
+                buffers["fine"] = gauss_f
+        if return_buffer:
+            outputs["render_pkg"] = buffers
+        return outputs
+
+    def _fine_stage(self, batch, coarse_out, volume_feat_up, centers, sh_c,
+                    opacity_c, scaling_c, rotation_c, n_in: int, img_hw):
+        """Static-shape fine refinement (lightning/network.py:502-525):
+        select the top-`fine_budget` surfels by coarse opacity, build per-view
+        point features from the coarse renders, predict an SH residual, and
+        return the fine surfel set (padded entries get -1e4 opacity)."""
+        m = self.cfg.model
+        M = min(m.fine_budget, centers.shape[1])
+        h, w = img_hw
+        wh = jnp.asarray([w, h], jnp.float32)
+
+        op_act = jax.nn.sigmoid(opacity_c[..., 0])
+        score = jax.lax.stop_gradient(jnp.where(op_act > 0.005, op_act, -1.0))
+
+        def per_scene(score_b, centers_b, sh_b, op_b, sc_b, rot_b, vol_b,
+                      img_ref, rend_img, rend_acc, rend_dep, w2c_in, ixt_in):
+            vals, idx = jax.lax.top_k(score_b, M)
+            sel_ok = vals > 0.0
+
+            c_sel = jnp.take(centers_b, idx, axis=0)
+            sh_sel = jnp.take(sh_b, idx, axis=0)
+            op_sel = jnp.take(op_b, idx, axis=0)
+            sc_sel = jnp.take(sc_b, idx, axis=0)
+            rot_sel = jnp.take(rot_b, idx, axis=0)
+            vol_sel = jnp.take(vol_b, idx // m.K, axis=0)
+
+            def feats_for_view(img_v, rimg_v, racc_v, rdep_v, w2c, ixt):
+                cam = c_sel @ w2c[:3, :3].T + w2c[:3, 3]
+                img = cam @ ixt.T
+                z = img[:, 2]
+                xy = img[:, :2] / z[:, None]
+                gridc = (xy + 0.5) / wh * 2.0 - 1.0
+                # channels: ref rgb(3) + coarse rgb(3) + acc(1) + depth(1)
+                stack = jnp.concatenate(
+                    [img_v, rimg_v, racc_v[..., None], rdep_v], axis=-1)
+                samp = grid_sample_2d(jnp.moveaxis(stack.astype(jnp.float32), -1, 0), gridc)
+                zdiff = jnp.abs(samp[:, -1] - z)
+                return jnp.concatenate([samp[:, :-1], zdiff[:, None]], axis=-1)
+
+            pf = jax.vmap(feats_for_view)(
+                img_ref, rend_img, rend_acc, rend_dep, w2c_in, ixt_in)  # [V,M,8]
+            pf = jnp.swapaxes(pf, 0, 1)                                 # [M,V,8]
+
+            sh_res = self.decoder_fine(vol_sel, pf)
+            sh_fine = sh_res.reshape(M, self.sh_dim // 3, 3) + sh_sel
+            op_fine = jnp.where(sel_ok[:, None], op_sel, -1e4)
+            return c_sel, sh_fine, op_fine, sc_sel, rot_sel
+
+        img_ref = batch["tar_rgb"][:, :n_in].astype(jnp.float32)       # [B,V,H,W,3]
+        rend_img = coarse_out["image"][:, :n_in]
+        rend_acc = coarse_out["acc_map"][:, :n_in]
+        rend_dep = coarse_out["depth"][:, :n_in]
+        w2c_in = batch["tar_w2c"][:, :n_in]
+        ixt_in = batch["tar_ixt"][:, :n_in]
+
+        return jax.vmap(per_scene)(
+            score, centers, sh_c, opacity_c, scaling_c, rotation_c,
+            volume_feat_up, img_ref, rend_img, rend_acc, rend_dep,
+            w2c_in, ixt_in)

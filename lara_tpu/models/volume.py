@@ -1,0 +1,145 @@
+"""Volume transformer: group cross-attention over the 3D token grid.
+
+TPU-native counterpart of the reference VolTransformer/GroupAttBlock/ModLN
+(lightning/network.py:57-164,190-213). The 32³ volume is partitioned into
+group_axis³ local groups of block_size³ voxels; each group cross-attends only
+to its own per-view image tokens, and a 3×3×3 conv propagates information
+across groups (the reference's memory-scaling mechanism, SURVEY.md §5.7).
+
+Layout is channel-last ([B, D, H, W, C]) throughout — the natural layout for
+XLA convolutions and reshape-based grouping on TPU; grouping is expressed as
+reshape+transpose (a free relayout under XLA fusion) instead of torch unfold.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lara_tpu.models.attention import Mlp, MultiHeadAttention
+
+
+def group_volume(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[B, D, H, W, C] → [B, G³, b³, C] with torch-unfold-compatible ordering
+    (group index (gD,gH,gW) row-major; within-block (bD,bH,bW) row-major)."""
+    b_, d, h, w, c = x.shape
+    g = d // block
+    x = x.reshape(b_, g, block, g, block, g, block, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b_, g * g * g, block * block * block, c)
+
+
+def ungroup_volume(x: jnp.ndarray, block: int, reso: int) -> jnp.ndarray:
+    """Inverse of group_volume: [B, G³, b³, C] → [B, D, H, W, C]."""
+    b_, _, _, c = x.shape
+    g = reso // block
+    x = x.reshape(b_, g, g, g, block, block, block, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b_, reso, reso, reso, c)
+
+
+class ModLN(nn.Module):
+    """adaLN modulation: x ← LN(x)·(1+scale) + shift with (shift, scale)
+    predicted from a conditioning vector (lightning/network.py:190-213)."""
+
+    inner_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        # cond [..., mod_dim] broadcastable against x [..., inner_dim]
+        mod = nn.silu(cond.astype(self.dtype))
+        mod = nn.Dense(self.inner_dim * 2, dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_uniform(), name="mlp")(mod)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x * (1 + scale) + shift
+
+
+class GroupAttBlock(nn.Module):
+    """One volume-transformer layer (lightning/network.py:57-102):
+    group cross-attention → MLP → LayerNorm → 3D-conv residual."""
+
+    inner_dim: int
+    num_heads: int
+    cond_dim: int
+    mlp_ratio: float = 2.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray, block_size: int):
+        """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens)."""
+        b, d, h, w, c = x.shape
+        patches = group_volume(x, block_size)                 # [B, G, l, C]
+        g = patches.shape[1]
+        flat = patches.reshape(b * g, -1, c)
+        cond_flat = cond.reshape(b * g, cond.shape[2], cond.shape[3]).astype(self.dtype)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(flat)
+        flat = flat + MultiHeadAttention(self.inner_dim, self.num_heads,
+                                         kv_dim=self.cond_dim, use_bias=False,
+                                         dtype=self.dtype, name="cross_attn")(y, cond_flat)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(flat)
+        flat = flat + Mlp(self.inner_dim, int(self.inner_dim * self.mlp_ratio),
+                          dtype=self.dtype, name="mlp")(y)
+        flat = nn.LayerNorm(dtype=self.dtype, name="norm3")(flat)
+
+        vol = ungroup_volume(flat.reshape(b, g, -1, c), block_size, d)
+        vol = vol + nn.Conv(self.inner_dim, (3, 3, 3), use_bias=False,
+                            dtype=self.dtype, name="cnn")(vol)
+        return vol
+
+
+class VolTransformer(nn.Module):
+    """Stack of GroupAttBlocks over a learned 3D positional volume, with a
+    final 2× transposed-conv upsample (lightning/network.py:105-164)."""
+
+    embed_dim: int
+    image_feat_dim: int
+    vol_low_res: int
+    out_dim: int
+    n_groups: Sequence[int]
+    num_layers: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image_feats: jnp.ndarray) -> jnp.ndarray:
+        """image_feats [B, V, D, H, W, C_img] → volume [B, 2D, 2H, 2W, out_dim].
+
+        Per-layer conditioning: the per-view feature volume is grouped with
+        the layer's block size and all views' tokens of a group are flattened
+        into one KV sequence (lightning/network.py:144-150).
+        """
+        b, v, d, h, w, c = image_feats.shape
+
+        conds = []
+        block_sizes = [self.vol_low_res // n for n in self.n_groups]
+        for n_group in self.n_groups:
+            blk = d // n_group
+            per_view = group_volume(image_feats.reshape(b * v, d, h, w, c), blk)
+            g3, l = per_view.shape[1], per_view.shape[2]
+            per_view = per_view.reshape(b, v, g3, l, c)
+            cond = per_view.transpose(0, 2, 1, 3, 4).reshape(b, g3, v * l, c)
+            conds.append(cond)
+
+        r = self.vol_low_res
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(1.0 / self.embed_dim ** 0.5),
+            (1, r, r, r, self.embed_dim), jnp.float32)
+        x = jnp.broadcast_to(pos, (b, r, r, r, self.embed_dim)).astype(self.dtype)
+
+        for i in range(self.num_layers):
+            gi = i % len(self.n_groups)
+            x = GroupAttBlock(
+                inner_dim=self.embed_dim, num_heads=self.num_heads,
+                cond_dim=self.image_feat_dim, dtype=self.dtype,
+                name=f"layer{i}")(x, conds[gi], block_sizes[gi])
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.ConvTranspose(self.out_dim, (2, 2, 2), strides=(2, 2, 2),
+                             dtype=self.dtype, name="deconv")(x)
+        return x

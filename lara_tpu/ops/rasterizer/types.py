@@ -1,0 +1,100 @@
+"""Static configuration and output types for the 2DGS rasterizer."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static (hashable) rasterizer configuration.
+
+    height/width: output image extent in pixels (must be multiples of `tile`).
+    tile:        square tile edge in pixels (16 → 256 px per tile).
+    dup:         duplication grid edge — each surfel may claim up to dup×dup
+                 tiles; its screen radius is clamped to (dup-1)*tile/2 px so
+                 the claim always covers the true footprint.
+    tile_budget: max depth-sorted entries composited per tile (closest kept).
+    tile_chunk:  tiles processed per scan step (memory/throughput knob).
+    sh_degree:   active SH degree for view-dependent color.
+    alpha_min / transmittance_min / near_cull: culling thresholds matching the
+                 upstream 2DGS CUDA kernels (1/255, 1e-4, 0.2).
+    dist_near / dist_far: fixed depth-normalization range of the distortion
+                 accumulator (upstream uses constants, not camera near/far, so
+                 LaRa's 1000× distortion weight transfers unchanged;
+                 consumed at lightning/loss.py:49-52).
+    filter2d_invsq: inverse variance of the object-space low-pass filter
+                 (upstream FilterInvSquare = 2 ⇒ σ² = 0.5 px²).
+    """
+
+    height: int = 512
+    width: int = 512
+    tile: int = 16
+    dup: int = 3
+    tile_budget: int = 256
+    tile_chunk: int = 64
+    sh_degree: int = 1
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+    near_cull: float = 0.2
+    dist_near: float = 0.2
+    dist_far: float = 100.0
+    filter2d_invsq: float = 2.0
+    backend: str = "tiled"  # "tiled" | "reference" | "pallas"
+
+    def __post_init__(self):
+        assert self.height % self.tile == 0 and self.width % self.tile == 0, (
+            "image extent must be a multiple of the tile size"
+        )
+
+    @property
+    def tiles_x(self) -> int:
+        return self.width // self.tile
+
+    @property
+    def tiles_y(self) -> int:
+        return self.height // self.tile
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def max_radius(self) -> float:
+        return (self.dup - 1) * self.tile / 2.0
+
+
+class RenderOutput(NamedTuple):
+    """Per-camera rasterizer outputs. Mirrors (rendered_image, allmap) of the
+    CUDA extension, unpacked the way lightning/renderer_2dgs.py:226-246 does.
+
+    All maps are [H, W, ...]; `normal` is in *camera* space (the renderer
+    wrapper rotates it to world space), `depth_expected` is already
+    alpha-normalized, `depth_median` is nan-free (0 where alpha never crosses
+    0.5).
+    """
+
+    image: jnp.ndarray          # [H, W, 3]
+    alpha: jnp.ndarray          # [H, W]
+    depth_expected: jnp.ndarray  # [H, W]
+    depth_median: jnp.ndarray   # [H, W]
+    normal: jnp.ndarray         # [H, W, 3] camera space
+    distortion: jnp.ndarray     # [H, W]
+
+
+class ProjectedSurfels(NamedTuple):
+    """Per-surfel camera-space quantities produced by preprocess (SoA)."""
+
+    center_cam: jnp.ndarray  # [N, 3]
+    au: jnp.ndarray          # [N, 3] tangent axis u / s_u (maps offsets → σ units)
+    bv: jnp.ndarray          # [N, 3] tangent axis v / s_v
+    normal: jnp.ndarray      # [N, 3] unit plane normal, flipped toward camera
+    rgb: jnp.ndarray         # [N, 3] SH-evaluated color
+    opacity: jnp.ndarray     # [N]
+    depth: jnp.ndarray       # [N] camera-space z of the center
+    center2d: jnp.ndarray    # [N, 2] pixel coords (pixel centers at +0.5)
+    radius: jnp.ndarray      # [N] clamped screen radius in pixels
+    valid: jnp.ndarray       # [N] bool

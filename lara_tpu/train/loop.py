@@ -1,0 +1,175 @@
+"""Training loop (counterpart of train_lightning.py + lightning/system.py).
+
+Schedule semantics mirrored from the reference:
+  - `limit_train_batches` fraction of the loader per epoch (base.yaml:60),
+    validation on `limit_val_batches` every epoch (train_lightning.py:78-80);
+  - optimizer steps = micro-steps / grad_accum; `global_step` (used by the
+    fine gate start_fine=5000 and the loss gates) counts optimizer steps;
+  - checkpoint every `ckpt_every_n_epoch` epochs; full resume via
+    `model.ckpt_path` (train_lightning.py:85-90);
+  - scalars to tensorboardX; image panels every `vis_every_n_steps`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from lara_tpu.config import Config
+from lara_tpu.data import DataLoader, dataset_dict
+from lara_tpu.models import LaRaNet
+from lara_tpu.parallel.mesh import make_mesh, shard_batch
+from lara_tpu.train import checkpoint as ckpt
+from lara_tpu.train.state import TrainState, make_optimizer
+from lara_tpu.train.step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workdir: Optional[str] = None):
+        self.cfg = cfg
+        self.workdir = workdir or cfg.logger.dir
+        os.makedirs(self.workdir, exist_ok=True)
+        self.mesh = make_mesh()
+        self.net = LaRaNet(cfg)
+        self._writer = None
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(self.workdir)
+        return self._writer
+
+    def _num_opt_steps(self, loader: DataLoader) -> int:
+        """lightning/system.py:69-76: dataset batches × epochs ×
+        limit_train_batches / grad_accum (devices already divided out by the
+        global batch)."""
+        t = self.cfg.train
+        per_epoch = int(len(loader) * t.limit_train_batches)
+        return max(1, per_epoch * t.n_epoch // t.grad_accum)
+
+    def init_state(self, sample_batch: Dict, max_iters: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        batch = {k: v for k, v in sample_batch.items() if k != "meta"}
+        params = self.net.init(rng, batch, with_fine=True, train=False)
+        tx, _ = make_optimizer(self.cfg.train, max_iters)
+        return TrainState.create(apply_fn=self.net.apply, params=params, tx=tx)
+
+    def fit(self, max_steps: Optional[int] = None) -> Dict:
+        cfg = self.cfg
+        train_ds = dataset_dict[cfg.train_dataset.dataset_name](cfg.train_dataset)
+        val_ds = dataset_dict[cfg.test_dataset.dataset_name](cfg.test_dataset)
+        train_loader = DataLoader(train_ds, cfg.train_dataset.batch_size,
+                                  shuffle=True, num_workers=cfg.train_dataset.num_workers,
+                                  seed=cfg.train.seed)
+        val_loader = DataLoader(val_ds, cfg.test_dataset.batch_size, shuffle=False,
+                                num_workers=cfg.test_dataset.num_workers)
+
+        sample = next(iter(DataLoader(train_ds, cfg.train_dataset.batch_size,
+                                      num_workers=0)))
+        max_iters = self._num_opt_steps(train_loader)
+        state = self.init_state(sample, max_iters)
+
+        start_epoch = 0
+        ckpt_dir = os.path.join(self.workdir, "ckpts")
+        resume_from = cfg.model.ckpt_path or (
+            ckpt_dir if ckpt.latest_step(ckpt_dir) is not None else None)
+        if resume_from:
+            template = {"params": state.params, "opt_state": state.opt_state,
+                        "step": 0, "epoch": 0}
+            restored = ckpt.restore_checkpoint(resume_from, template)
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=restored["step"])
+            start_epoch = restored["epoch"] + 1
+
+        step_coarse = make_train_step(self.net, self.mesh, with_fine=False)
+        step_fine = make_train_step(self.net, self.mesh, with_fine=True)
+        eval_coarse = make_eval_step(self.net, self.mesh, with_fine=False)
+        eval_fine = make_eval_step(self.net, self.mesh, with_fine=True)
+
+        t = cfg.train
+        batches_per_epoch = max(1, int(len(train_loader) * t.limit_train_batches))
+        micro = int(state.step)
+        t0 = time.time()
+        last_stats: Dict = {}
+
+        for epoch in range(start_epoch, t.n_epoch):
+            train_loader.set_epoch(epoch)
+            for i, batch in enumerate(train_loader):
+                if i >= batches_per_epoch:
+                    break
+                global_step = micro // t.grad_accum
+                fn = step_fine if global_step > t.start_fine else step_coarse
+                sb = shard_batch(batch, self.mesh)
+                sb.pop("meta", None)
+                state, stats = fn(state, sb)
+                micro += 1
+                if micro % (10 * t.grad_accum) == 0:
+                    last_stats = {k: float(v) for k, v in stats.items()}
+                    last_stats["steps_per_sec"] = micro / (time.time() - t0)
+                    for k, v in last_stats.items():
+                        self.writer.add_scalar(f"train/{k}", v, global_step)
+                if t.vis_every_n_steps and global_step > 0 and \
+                        micro % (t.vis_every_n_steps * t.grad_accum) == 0:
+                    self._vis(state, batch, sb, global_step, "train")
+                if max_steps is not None and micro >= max_steps:
+                    break
+            else:
+                # validation (lightning/system.py:38-52)
+                val_batches = max(1, int(len(val_loader) * t.limit_val_batches))
+                agg: Dict[str, list] = {}
+                for j, batch in enumerate(val_loader):
+                    if j >= val_batches:
+                        break
+                    sb = shard_batch(batch, self.mesh)
+                    sb.pop("meta", None)
+                    global_step = micro // t.grad_accum
+                    efn = eval_fine if global_step > t.start_fine else eval_coarse
+                    out, stats = efn(state.params, sb, global_step)
+                    if j == 0:
+                        self._log_panels(out, batch, global_step, "val")
+                    for k, v in stats.items():
+                        agg.setdefault(k, []).append(float(v))
+                for k, vs in agg.items():
+                    self.writer.add_scalar(f"val/{k}", float(np.mean(vs)), epoch)
+
+                if (epoch + 1) % t.ckpt_every_n_epoch == 0 or epoch == t.n_epoch - 1:
+                    ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
+                continue
+            break  # max_steps reached
+
+        self.state = state
+        return last_stats
+
+    def _vis(self, state, batch, sharded_batch, step: int, prefix: str):
+        """Render image panels with the current params (lightning/system.py:
+        33-34,57-67: every 3000 steps, rank-0 only — here: host 0)."""
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        from lara_tpu.train.step import make_eval_step
+
+        with_fine = step > self.cfg.train.start_fine
+        efn = make_eval_step(self.net, self.mesh, with_fine=with_fine)
+        out, _ = efn(state.params, sharded_batch, step)
+        self._log_panels(out, batch, step, prefix)
+
+    def _log_panels(self, out, batch, step: int, prefix: str):
+        import numpy as np
+
+        from lara_tpu.eval.vis import vis_images
+
+        host_out = {k: np.asarray(v) for k, v in out.items()
+                    if hasattr(v, "shape")}
+        panels = vis_images(host_out, batch)
+        for key, value in panels.items():
+            b, h, w = value.shape[:3]
+            img = value.reshape(b * h, w, 3).transpose(2, 0, 1)
+            self.writer.add_image(f"{prefix}/{key}", np.clip(img, 0, 1), step)

@@ -1,0 +1,76 @@
+// Native data-path kernels for the host-side input pipeline.
+//
+// The reference feeds its trainer with torch DataLoader worker *processes*
+// whose per-sample work (alpha compositing onto the augmented background,
+// normal decode + rotation, per-pixel ray building —
+// dataLoader/gobjverse.py:127-141, :83, dataLoader/utils.py:21-34) runs in
+// torch/numpy C kernels. Our loader uses threads; these fused single-pass
+// C++ kernels replace the multi-pass numpy equivalents so the host keeps a
+// TPU fed. Exposed via a C ABI for ctypes (no pybind11 in this image).
+//
+// Build: make -C native   →  liblara_native.so
+
+#include <cstdint>
+#include <cmath>
+
+extern "C" {
+
+// RGBA u8 [h*w*4] → float RGB composited onto bg, plus u8 coverage mask.
+// Mirrors dataLoader/gobjverse.py:127-141 in one pass.
+void composite_rgba(const uint8_t* rgba, const float* bg,
+                    float* out_rgb, uint8_t* out_mask, int64_t n_px) {
+    const float inv255 = 1.0f / 255.0f;
+    for (int64_t i = 0; i < n_px; ++i) {
+        const uint8_t* p = rgba + i * 4;
+        float a = p[3] * inv255;
+        float ia = 1.0f - a;
+        out_rgb[i * 3 + 0] = p[0] * inv255 * a + bg[0] * ia;
+        out_rgb[i * 3 + 1] = p[1] * inv255 * a + bg[1] * ia;
+        out_rgb[i * 3 + 2] = p[2] * inv255 * a + bg[2] * ia;
+        out_mask[i] = p[3] > 0 ? 1 : 0;
+    }
+}
+
+// u8 normal map → [-1,1] floats rotated by R^T (rot is row-major 3x3).
+// Mirrors dataLoader/gobjverse.py:83,138.
+void decode_normal(const uint8_t* nrm, const float* rot,
+                   float* out, int64_t n_px) {
+    const float s = 2.0f / 255.0f;
+    for (int64_t i = 0; i < n_px; ++i) {
+        float x = nrm[i * 3 + 0] * s - 1.0f;
+        float y = nrm[i * 3 + 1] * s - 1.0f;
+        float z = nrm[i * 3 + 2] * s - 1.0f;
+        // out = n @ R^T  (row-vector convention of the reference)
+        out[i * 3 + 0] = x * rot[0] + y * rot[1] + z * rot[2];
+        out[i * 3 + 1] = x * rot[3] + y * rot[4] + z * rot[5];
+        out[i * 3 + 2] = x * rot[6] + y * rot[7] + z * rot[8];
+    }
+}
+
+// Per-pixel rays: origin (c2w translation) + unnormalized direction
+// R_c2w · K^-1 · [u+.5, v+.5, 1]. Output [H, W, 6].
+// Mirrors dataLoader/utils.py:21-34 with the intrinsics pre-inverted.
+void build_rays(const float* c2w /*4x4 row-major*/,
+                const float* ixt_inv /*3x3 row-major*/,
+                int32_t H, int32_t W, float* out) {
+    const float ox = c2w[3], oy = c2w[7], oz = c2w[11];
+    // dir = (uv1 @ ixt_inv^T) @ R^T  →  precompute M = R · ixt_inv (3x3)
+    float M[9];
+    for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c)
+            M[r * 3 + c] = c2w[r * 4 + 0] * ixt_inv[0 * 3 + c]
+                         + c2w[r * 4 + 1] * ixt_inv[1 * 3 + c]
+                         + c2w[r * 4 + 2] * ixt_inv[2 * 3 + c];
+    for (int32_t v = 0; v < H; ++v) {
+        for (int32_t u = 0; u < W; ++u) {
+            float x = u + 0.5f, y = v + 0.5f;
+            float* o = out + (static_cast<int64_t>(v) * W + u) * 6;
+            o[0] = ox; o[1] = oy; o[2] = oz;
+            o[3] = M[0] * x + M[1] * y + M[2];
+            o[4] = M[3] * x + M[4] * y + M[5];
+            o[5] = M[6] * x + M[7] * y + M[8];
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,82 @@
+"""Eval subsystem: metrics, video paths, TSDF fusion + meshing."""
+
+import numpy as np
+
+from lara_tpu.data.synthetic import _orbit_c2w, render_spheres
+from lara_tpu.eval.metrics import abs_error, acc_threshold, psnr, ssim
+from lara_tpu.eval.tsdf import TSDFVolume, keep_largest_clusters
+from lara_tpu.eval.video_path import uni_mesh_path, uni_video_path
+from lara_tpu.utils.camera import build_rays_np, fov_to_ixt
+
+
+def test_psnr_ssim_basics():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    assert psnr(x, x) > 80
+    assert abs(ssim(x, x) - 1.0) < 1e-5
+    y = np.clip(x + rng.normal(size=x.shape) * 0.1, 0, 1).astype(np.float32)
+    assert 15 < psnr(x, y) < 25
+    assert ssim(x, y) < 0.99
+
+
+def test_depth_metrics():
+    gt = np.ones((8, 8)) * 2.0
+    pred = gt + 0.05
+    mask = np.zeros((8, 8), bool)
+    mask[2:6, 2:6] = True
+    np.testing.assert_allclose(abs_error(pred, gt, mask), 0.05, atol=1e-6)
+    assert acc_threshold(pred, gt, mask, 0.1).mean() == 1.0
+    assert acc_threshold(pred, gt, mask, 0.01).mean() == 0.0
+
+
+def test_video_path_orbit():
+    frames = uni_video_path(24, "gobjeverse", (64, 64))
+    assert len(frames) == 24
+    # all cameras at equal distance from the origin, looking inward
+    dists = [np.linalg.norm(f.c2w[:3, 3]) for f in frames]
+    np.testing.assert_allclose(dists, dists[0], rtol=1e-5)
+    for f in frames[::6]:
+        eye = f.c2w[:3, 3]
+        fwd = f.c2w[:3, 2]
+        assert np.dot(fwd, -eye / np.linalg.norm(eye)) > 0.9
+    mesh_frames = uni_mesh_path(16, "gobjeverse", (64, 64))
+    assert len(mesh_frames) == 48  # 3 elevations × 16
+
+
+def test_tsdf_sphere_reconstruction():
+    """Fuse analytic depth maps of a sphere; mesh vertices must lie on it."""
+    radius = 0.3
+    center = np.zeros(3, np.float32)
+    spheres = [(center, radius, np.array([1.0, 0.2, 0.2], np.float32))]
+    H = W = 96
+    fov = np.array([0.8, 0.8], np.float32)
+    ixt = fov_to_ixt(fov, np.array([W, H]))
+
+    vol = TSDFVolume(np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]]),
+                     voxel_size=1.5 / 96, sdf_trunc=0.05)
+    for k in range(12):
+        c2w = _orbit_c2w(1.6, k * np.pi / 6, 0.3 * np.sin(k))
+        rays = build_rays_np(c2w[None], ixt[None], H, W, 1.0)[0]
+        o, d = rays[..., :3], rays[..., 3:]
+        dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        oc = o - center
+        b = np.sum(oc * dn, -1)
+        c = np.sum(oc * oc, -1) - radius ** 2
+        disc = b * b - c
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit = (disc > 0) & (t > 0)
+        # z-depth in camera space = ray length × cos(angle to optical axis)
+        depth = np.where(hit, t * (dn @ c2w[:3, 2]), 0.0)
+        color = np.ones((H, W, 3), np.float32) * 0.5
+        vol.integrate(depth.astype(np.float32), color, ixt, np.linalg.inv(c2w))
+
+    v, vc, tris = vol.extract_mesh()
+    assert len(v) > 500 and len(tris) > 500
+    r = np.linalg.norm(v - center, axis=-1)
+    # 90% of vertices within 2 voxels of the true surface
+    err = np.abs(r - radius)
+    assert np.quantile(err, 0.9) < 2 * vol.voxel_size
+
+    v2, c2_, t2 = keep_largest_clusters(v, vc, tris)
+    assert len(t2) <= len(tris)
+    assert len(v2) > 100

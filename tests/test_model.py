@@ -1,0 +1,149 @@
+"""Full-model forward/backward smoke tests on a tiny config + synthetic batch
+(SURVEY.md §4 item (c))."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lara_tpu.config import Config, DatasetConfig, ModelConfig, RenderConfig
+from lara_tpu.models import LaRaNet
+from lara_tpu.models.lara import build_dense_grid
+from lara_tpu.train.loss import compute_losses
+from lara_tpu.utils.camera import build_rays_np, fov_to_ixt
+
+
+def tiny_config(n_views=2):
+    return Config(
+        n_views=n_views,
+        model=ModelConfig(
+            encoder_dim=48, encoder_depth=2, encoder_heads=4, patch_size=16,
+            n_groups=(4,), K=2, sh_degree=1, num_layers=2, num_heads=4,
+            view_embed_dim=8, embedding_dim=64, vol_feat_reso=8,
+            vol_embedding_reso=8, vol_embedding_out_dim=32,
+            n_offset_groups=16, fine_budget=512),
+        render=RenderConfig(tile=16, dup=3, tile_budget=64, tile_chunk=4,
+                            eval_tile_budget=64),
+    )
+
+
+def synthetic_batch(B=2, n_views=2, H=64, W=64, seed=0):
+    """Batch following the reference schema (SURVEY.md §1 L2 contract):
+    first n_views entries are inputs, the rest supervision views."""
+    rng = np.random.default_rng(seed)
+    N = 2 * n_views
+    fov = 0.8
+    ixt = fov_to_ixt(np.array([fov, fov]), np.array([W, H]))
+
+    c2ws = []
+    for i in range(N):
+        ang = i * (2 * np.pi / N) + 0.3
+        eye = np.array([2.0 * np.sin(ang), 0.4, -2.0 * np.cos(ang)], np.float32)
+        z = -eye / np.linalg.norm(eye)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, eye
+        c2ws.append(c2w)
+    c2ws = np.stack(c2ws)
+    w2cs = np.linalg.inv(c2ws)
+    r = np.linalg.norm(c2ws[0, :3, 3])
+
+    rays = build_rays_np(c2ws, np.tile(ixt[None], (N, 1, 1)), H, W, 1.0)
+    rays_down = build_rays_np(c2ws, np.tile(ixt[None], (N, 1, 1)), H, W, 1.0 / 16)
+
+    batch = {
+        "tar_rgb": rng.uniform(size=(B, N, H, W, 3)).astype(np.float32),
+        "tar_c2w": np.tile(c2ws[None], (B, 1, 1, 1)),
+        "tar_w2c": np.tile(w2cs[None], (B, 1, 1, 1)),
+        "tar_ixt": np.tile(ixt[None, None], (B, N, 1, 1)),
+        "tar_rays": np.tile(rays[None], (B, 1, 1, 1, 1)),
+        "tar_rays_down": np.tile(rays_down[None], (B, 1, 1, 1, 1)),
+        "near_far": np.tile(np.array([r - 0.8, r + 0.8], np.float32)[None], (B, 1)),
+        "fovx": np.full((B,), fov, np.float32),
+        "fovy": np.full((B,), fov, np.float32),
+        "bg_color": np.ones((B, N, 3), np.float32),
+    }
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def test_dense_grid_layout():
+    g = build_dense_grid(4, 0.5)
+    assert g.shape == (64, 3)
+    np.testing.assert_allclose(np.asarray(g[0]), [-0.375, -0.375, -0.375], atol=1e-6)
+    # row-major: last axis fastest
+    np.testing.assert_allclose(np.asarray(g[1]), [-0.375, -0.375, -0.125], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[-1]), [0.375, 0.375, 0.375], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_config()
+    net = LaRaNet(cfg)
+    batch = synthetic_batch()
+    # init with the full graph so the fine decoder's params exist from step 0
+    # (the reference relies on DDP find_unused_parameters for the same reason,
+    # train_lightning.py:72)
+    params = net.init(jax.random.PRNGKey(0), batch, with_fine=True, train=False)
+    return cfg, net, batch, params
+
+
+def test_forward_coarse_shapes(model_and_params):
+    cfg, net, batch, params = model_and_params
+    out = net.apply(params, batch, with_fine=False, train=False)
+    B, N, H, W = 2, 4, 64, 64
+    assert out["image"].shape == (B, N, H, W, 3)
+    assert out["depth"].shape == (B, N, H, W, 1)
+    assert out["acc_map"].shape == (B, N, H, W)
+    assert out["rend_normal"].shape == (B, N, H, W, 3)
+    assert out["depth_normal"].shape == (B, N, H, W, 3)
+    assert out["rend_dist"].shape == (B, N, H, W)
+    for k, v in out.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # surfels project inside the scene box → some alpha somewhere
+    assert float(jnp.max(out["acc_map"])) > 0.01
+
+
+def test_forward_fine_and_buffer(model_and_params):
+    cfg, net, batch, params = model_and_params
+    out = net.apply(params, batch, with_fine=True, train=False, return_buffer=True)
+    assert "image_fine" in out and "acc_map_fine" in out
+    assert np.all(np.isfinite(np.asarray(out["image_fine"])))
+    centers, shs, op, sc, rot = out["render_pkg"]["fine"]
+    assert centers.shape == (2, cfg.model.fine_budget, 3)
+    assert shs.shape == (2, cfg.model.fine_budget, 4, 3)
+
+
+def test_loss_and_gradients(model_and_params):
+    cfg, net, batch, params = model_and_params
+
+    def loss_fn(p):
+        out = net.apply(p, batch, with_fine=True, train=True)
+        loss, stats = compute_losses(batch, out, step=2000)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for k in ["mse", "psnr", "ssim", "distortion", "normal", "mse_fine"]:
+        assert k in stats and np.isfinite(float(stats[k])), k
+
+    leaves, _ = jax.tree.flatten(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # encoder, volume transformer, decoders all receive gradient signal
+    g = grads["params"]
+    for key in ["img_encoder", "vol_decoder", "decoder_coarse", "decoder_fine"]:
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g[key]))
+        assert total > 0.0, key
+
+
+def test_loss_gate_before_1000(model_and_params):
+    cfg, net, batch, params = model_and_params
+    out = net.apply(params, batch, with_fine=False, train=True)
+    l_early, _ = compute_losses(batch, out, step=100)
+    l_late, stats = compute_losses(batch, out, step=2000)
+    # distortion/normal terms only active after step 1000
+    expected_gap = 1000.0 * float(stats["distortion"]) + 0.2 * float(stats["normal"])
+    assert abs((float(l_late) - float(l_early)) - expected_gap) < 1e-4

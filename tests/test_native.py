@@ -1,0 +1,44 @@
+"""Native C++ data kernels vs numpy reference (skips if lib not built)."""
+
+import numpy as np
+import pytest
+
+from lara_tpu.data import native as nv
+
+
+requires_native = pytest.mark.skipif(not nv.have_native(),
+                                     reason="liblara_native.so not built")
+
+
+@requires_native
+def test_composite_rgba_matches_numpy():
+    rng = np.random.default_rng(0)
+    rgba = (rng.uniform(size=(33, 17, 4)) * 255).astype(np.uint8)
+    bg = np.array([0.25, 0.5, 1.0], np.float32)
+    rgb, mask = nv.composite_rgba(rgba, bg)
+    img = rgba.astype(np.float32) / 255.0
+    ref = img[..., :3] * img[..., 3:] + bg * (1 - img[..., 3:])
+    np.testing.assert_allclose(rgb, ref, atol=1e-6)
+    np.testing.assert_array_equal(mask, (rgba[..., 3] > 0).astype(np.uint8))
+
+
+@requires_native
+def test_decode_normal_matches_numpy():
+    rng = np.random.default_rng(1)
+    nrm = (rng.uniform(size=(9, 11, 3)) * 255).astype(np.uint8)
+    rot = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    out = nv.decode_normal(nrm, rot)
+    ref = (nrm.astype(np.float32) / 255 * 2 - 1) @ rot.T
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@requires_native
+def test_build_rays_matches_numpy():
+    from lara_tpu.utils.camera import build_rays_np, fov_to_ixt
+
+    ixt = fov_to_ixt(np.array([0.7, 0.9]), np.array([24, 16]))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.2, -0.1, -2.0]
+    got = nv.build_rays_single(c2w, ixt, 16, 24)
+    ref = build_rays_np(c2w[None], ixt[None], 16, 24, 1.0)[0]
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -1,0 +1,70 @@
+"""Pallas blend kernel vs tiled backend equivalence (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lara_tpu.ops.rasterizer.tiled import rasterize_tiled
+from tests.test_rasterizer import dc_shs, front_camera, make_cfg, random_scene
+
+
+def _pallas_interpret(monkeypatch_call=None):
+    """Run the pallas backend with the kernel in interpreter mode (no TPU)."""
+    import lara_tpu.ops.rasterizer.pallas_blend as pb
+
+    orig = pb.pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    return pb, orig, patched
+
+
+def test_pallas_matches_tiled_random_scene(monkeypatch):
+    pb, orig, patched = _pallas_interpret()
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+
+    cfg = make_cfg(tile_budget=64, dup=2)
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(5), 300)
+    bg = jnp.array([0.2, 0.5, 0.8])
+
+    ref = rasterize_tiled(means, shs, op, scales, quats, cam, bg, cfg)
+    pal = rasterize_pallas(means, shs, op, scales, quats, cam, bg, cfg)
+
+    np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pal.alpha), np.asarray(ref.alpha), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pal.depth_expected),
+                               np.asarray(ref.depth_expected), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pal.depth_median),
+                               np.asarray(ref.depth_median), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pal.normal), np.asarray(ref.normal), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pal.distortion),
+                               np.asarray(ref.distortion), atol=2e-4)
+
+
+def test_pallas_early_termination_semantics(monkeypatch):
+    """An opaque stack: early exit must not change the composited result."""
+    pb, orig, patched = _pallas_interpret()
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+
+    cfg = make_cfg(tile_budget=64, dup=2)
+    cam = front_camera()
+    n = 48
+    z = jnp.linspace(-0.3, 0.3, n)
+    means = jnp.stack([jnp.zeros(n), jnp.zeros(n), z], -1)
+    shs = dc_shs([0.9, 0.4, 0.1], n)
+    op = jnp.full((n,), 0.97)
+    scales = jnp.full((n, 2), 0.06)
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+    bg = jnp.zeros(3)
+
+    ref = rasterize_tiled(means, shs, op, scales, quats, cam, bg, cfg)
+    pal = rasterize_pallas(means, shs, op, scales, quats, cam, bg, cfg)
+    np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pal.depth_median),
+                               np.asarray(ref.depth_median), atol=1e-3)
