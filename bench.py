@@ -20,20 +20,27 @@ A100_BASELINE_FPS = 250.0
 
 
 def lara_workload(n=64 ** 3 * 2, seed=0):
-    """Surfel population statistically matching a trained LaRa scene:
-    centers in the [-0.5, 0.5] box, scales around exp(scaling_shift)≈voxel/6,
-    ~15% of surfels opaque (object) and the rest near-transparent."""
+    """Surfel population statistically matching a *trained* LaRa scene:
+    opacities polarized (surface surfels near-opaque, the rest transparent)
+    and opaque surfels clustered on an object surface — the distribution the
+    decoder converges to (opacity entropy collapses under the photometric
+    loss), and the one the CUDA reference renders in its published setup.
+    Scales around exp(scaling_shift) ≈ voxel/6."""
     import jax
     import jax.numpy as jnp
 
     k = jax.random.split(jax.random.PRNGKey(seed), 6)
-    means = jax.random.uniform(k[0], (n, 3), minval=-0.5, maxval=0.5)
+    # surface shell of radius ~0.28 with jitter + uniform transparent dust
+    r3 = jax.random.normal(k[0], (n, 3))
+    shell = 0.28 * r3 / jnp.linalg.norm(r3, axis=-1, keepdims=True)
+    shell = shell + 0.01 * jax.random.normal(k[1], (n, 3))
+    dust = jax.random.uniform(k[2], (n, 3), minval=-0.5, maxval=0.5)
+    occupied = jax.random.uniform(k[3], (n,)) < 0.15
+    means = jnp.where(occupied[:, None], shell, dust)
     shs = jax.random.normal(k[1], (n, 4, 3)) * 0.3
-    occupied = jax.random.uniform(k[2], (n,)) < 0.15
-    op_raw = jnp.where(occupied,
-                       jax.random.uniform(k[3], (n,), minval=0.0, maxval=4.0),
-                       jax.random.uniform(k[3], (n,), minval=-8.0, maxval=-4.0))
-    sc_raw = jnp.log(0.5 * (2.0 / 64) / 3.0) + jax.random.normal(k[4], (n, 2)) * 0.3
+    op_raw = jnp.where(occupied, 3.0,
+                       jax.random.uniform(k[4], (n,), minval=-9.0, maxval=-5.0))
+    sc_raw = jnp.log(0.5 * (2.0 / 64) / 3.0) + jax.random.normal(k[5], (n, 2)) * 0.3
     quats = jax.random.normal(k[5], (n, 4))
     return means, shs, op_raw, sc_raw, quats
 

@@ -80,3 +80,58 @@ def test_tsdf_sphere_reconstruction():
     v2, c2_, t2 = keep_largest_clusters(v, vc, tris)
     assert len(t2) <= len(tris)
     assert len(v2) > 100
+
+
+def test_pose_interpolation():
+    from lara_tpu.eval.pose_interp import get_interpolated_poses_many
+
+    def look_at(eye):
+        z = -eye / np.linalg.norm(eye)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 0], p[:3, 1], p[:3, 2], p[:3, 3] = x, y, z, eye
+        return p
+
+    poses = np.stack([look_at(np.array([2.0, 0, 0])),
+                      look_at(np.array([0, 0, 2.0])),
+                      look_at(np.array([-2.0, 0, 0]))])
+    ixts = np.tile(np.eye(3, dtype=np.float32)[None], (3, 1, 1))
+    traj, ks = get_interpolated_poses_many(poses, ixts, steps_per_transition=8)
+    assert traj.shape == (16, 3, 4) and ks.shape == (16, 3, 3)
+    # endpoints match, rotations stay orthonormal, motion is smooth
+    np.testing.assert_allclose(traj[0], poses[0][:3], atol=1e-5)
+    for p in traj:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3), atol=1e-4)
+    steps = np.linalg.norm(np.diff(traj[:, :3, 3], axis=0), axis=-1)
+    assert steps.max() < 3.0 * steps.min() + 1e-6
+
+
+def test_knn_mean_dist():
+    import jax.numpy as jnp
+    from lara_tpu.ops.knn import knn_mean_dist
+
+    # 4 points on a unit segment: nearest-3 mean sq dists computable by hand
+    pts = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0]])
+    d = np.asarray(knn_mean_dist(pts, k=3, chunk=4))
+    # point 0: neighbors at 1,2,3 → mean(1,4,9)
+    np.testing.assert_allclose(d[0], (1 + 4 + 9) / 3, atol=1e-5)
+    np.testing.assert_allclose(d[1], (1 + 1 + 4) / 3, atol=1e-5)
+
+
+def test_mesh_render_view():
+    from tools.mesh_render import render_mesh_view
+    from lara_tpu.utils.camera import fov_to_ixt
+
+    # a single fronto-parallel triangle in front of the camera
+    verts = np.array([[-0.3, -0.3, 0.0], [0.3, -0.3, 0.0], [0.0, 0.4, 0.0]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -2.0
+    ixt = fov_to_ixt(np.array([0.8, 0.8]), np.array([64, 64]))
+    img = render_mesh_view(verts, faces, c2w, ixt, 64, 64)
+    assert img.shape == (64, 64, 3)
+    # triangle interior shaded (not background white)
+    assert img[32, 32, 0] < 1.0
+    assert img[2, 2, 0] == 1.0
