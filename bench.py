@@ -55,13 +55,11 @@ def main():
     from lara_tpu.ops.renderer import render_view
 
     H = W = 512
-    # forward metric uses the Pallas kernel (early termination); the
-    # backward benchmark uses the autodiff tiled backend until the Pallas
-    # backward kernel lands.
+    # Pallas kernels for both forward and backward (custom VJP with per-tile
+    # early termination in each direction).
     cfg = RasterizeConfig(height=H, width=W, tile=16, dup=3, tile_budget=256,
                           tile_chunk=32, sh_degree=1, backend="pallas")
-    cfg_grad = RasterizeConfig(height=H, width=W, tile=16, dup=3, tile_budget=256,
-                               tile_chunk=32, sh_degree=1, backend="tiled")
+    cfg_grad = cfg
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)

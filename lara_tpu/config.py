@@ -50,11 +50,12 @@ class ModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
-    """Rasterizer knobs (no reference equivalent — CUDA had them compiled in)."""
-    backend: str = "tiled"
+    """Rasterizer knobs (no reference equivalent — CUDA had them compiled in).
+    backend "auto" → Pallas kernels on TPU, XLA tiled elsewhere."""
+    backend: str = "auto"
     tile: int = 16
     dup: int = 3
-    tile_budget: int = 256
+    tile_budget: int = 128
     tile_chunk: int = 32
     eval_tile_budget: int = 512
 

@@ -93,11 +93,14 @@ class LaRaNet(nn.Module):
 
     def _render_cfg(self, H: int, W: int, train: bool) -> RasterizeConfig:
         r = self.cfg.render
+        backend = r.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
         return RasterizeConfig(
             height=H, width=W, tile=r.tile, dup=r.dup,
             tile_budget=r.tile_budget if train else r.eval_tile_budget,
             tile_chunk=r.tile_chunk, sh_degree=self.cfg.model.sh_degree,
-            backend=r.backend)
+            backend=backend)
 
     def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
         """imgs [BV, H, W, 3], rays_down [BV, h, w, 6] (h = H/16) →

@@ -1,11 +1,14 @@
-"""Pallas rasterizer backend: XLA preprocess/binning + Pallas blend kernel.
+"""Pallas rasterizer backend: XLA preprocess/binning + Pallas blend kernels.
 
-Forward-only for now (used for evaluation/video rendering); training uses
-the autodiff `tiled` backend until the Pallas backward kernel lands.
+Fully differentiable: the blend has a custom VJP (Pallas backward kernel
+with per-tile early exit); the surrounding preprocess → pack → sort-gather →
+window-gather chain is plain JAX, so gradients reach means/shs/opacities/
+scales/rotations through standard gather transposes.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lara_tpu.utils.camera import Camera
@@ -22,10 +25,13 @@ def rasterize_pallas(
     assert cfg.tile_budget % CHUNK == 0, "tile_budget must be a multiple of 32"
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
     packed, win_gidx, _, counts = bin_surfels(g, cfg)
-    entries = packed[win_gidx]                    # [T, K, 20]
+    entries = packed[win_gidx]                    # [T, K, 13]
 
-    out = blend_tiles_pallas(entries, counts, camera.tanfovx, camera.tanfovy,
-                             bg.astype(jnp.float32), cfg)   # [T, C, P]
+    scalars = jnp.stack([
+        jnp.asarray(camera.tanfovx, jnp.float32).reshape(()),
+        jnp.asarray(camera.tanfovy, jnp.float32).reshape(()),
+    ])
+    out = blend_tiles_pallas(entries, counts, scalars, cfg)   # [T, C, P] raw
 
     tile = cfg.tile
 
@@ -36,10 +42,14 @@ def rasterize_pallas(
         return a.reshape(cfg.height, cfg.width, *ch)
 
     chans = out.transpose(0, 2, 1)                # [T, P, C]
+    alpha = to_image(chans[..., 3])
+    image = to_image(chans[..., 0:3]) + (1.0 - alpha)[..., None] * bg.astype(jnp.float32)
+    dsum = to_image(chans[..., 4])
+    depth_expected = jnp.where(alpha > 1e-6, dsum / jnp.maximum(alpha, 1e-6), 0.0)
     return RenderOutput(
-        image=to_image(chans[..., 0:3]),
-        alpha=to_image(chans[..., 3]),
-        depth_expected=to_image(chans[..., 4]),
+        image=image,
+        alpha=alpha,
+        depth_expected=depth_expected,
         depth_median=to_image(chans[..., 5]),
         normal=to_image(chans[..., 6:9]),
         distortion=to_image(chans[..., 9]),

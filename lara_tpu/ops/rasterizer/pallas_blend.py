@@ -1,25 +1,29 @@
-"""Pallas TPU kernel: per-tile surfel compositing with early termination.
+"""Pallas TPU kernels: per-tile surfel compositing, forward + backward.
 
 The XLA `tiled` backend must always process its full per-tile entry budget;
-this kernel reproduces the CUDA rasterizer's key performance property
-(SURVEY.md §2.3 step 3): each 16×16 tile walks its depth-sorted entry list
-in chunks and STOPS as soon as every pixel's transmittance is saturated —
-for opaque objects that is typically after 1-2 chunks of 32 instead of 256
-entries. TPU grid steps run sequentially on the core, so the per-tile
-`while_loop` is a genuine early exit, not a masked lockstep.
+these kernels reproduce the CUDA rasterizer's key performance property
+(SURVEY.md §2.3 steps 3-4): each 16×16 tile walks its depth-sorted entry
+list in chunks of 32 and STOPS as soon as every pixel's transmittance is
+saturated. TPU grid steps run sequentially on the core, so the per-tile
+`while_loop` is a genuine early exit. The backward kernel replays the
+forward chunk walk (storing per-chunk carries in VMEM), then runs the
+reverse chunk loop computing per-entry gradients with `jax.vjp` of the
+shared per-chunk function — so forward and backward math can never drift
+apart, and the early-exit bound applies to the backward as well.
 
-Layout: pixels live on the lane axis (P = tile² = 256 = 2×128 lanes),
-chunk entries on the sublane axis (32); exclusive log-transmittance
-cumulative sums are (32×32)·(32×256) lower-triangular matmuls on the MXU.
+Layout: pixels on the lane axis (P = tile² = 256 = 2×128 lanes), chunk
+entries on the sublane axis (32); the exclusive log-transmittance cumsum is
+a (32×32)·(32×256) lower-triangular matmul on the MXU.
 
-Numerics match lara_tpu.ops.rasterizer.blend.composite exactly (same alpha
-thresholds, per-pixel termination rule, median/distortion accumulators);
-the equivalence test is tests/test_pallas.py.
+The kernels emit *raw accumulators* (no background blend, unnormalized
+depth); `pallas.py` applies those as differentiable XLA ops. Equivalence
+with blend.py is tested in tests/test_pallas.py (values + gradients).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,153 +33,176 @@ from jax.experimental.pallas import tpu as pltpu
 from lara_tpu.ops.rasterizer.types import RasterizeConfig
 
 CHUNK = 32          # entries composited per inner step
-NUM_CHANNELS = 10   # rgb3 + alpha + depth_exp + depth_med + normal3 + dist
+NUM_CHANNELS = 10   # rgb3 + alpha + depth_sum + depth_med + normal3 + dist
+PACK_COLS = 13
 
 
-def _blend_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *, cfg: RasterizeConfig):
-    """Grid: (T,). entries_ref [1, K, 20] VMEM; out_ref [1, NUM_CHANNELS, P]."""
-    t = pl.program_id(0)
-    k_budget = cfg.tile_budget
+def _dot32(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+class _TileConsts(NamedTuple):
+    px: jnp.ndarray   # [1, P] pixel x coords
+    py: jnp.ndarray   # [1, P]
+    dx: jnp.ndarray   # [1, P] camera-space ray x/z
+    dy: jnp.ndarray   # [1, P]
+    fx: jnp.ndarray   # scalar
+    fy: jnp.ndarray   # scalar
+    l_incl: jnp.ndarray  # [CHUNK, CHUNK] lower-triangular (incl. diag)
+    l_excl: jnp.ndarray
+    kk: jnp.ndarray   # [CHUNK, 1] iota
+
+
+def _tile_consts(t, scalars_ref, cfg: RasterizeConfig) -> _TileConsts:
     p = cfg.tile * cfg.tile
-
-    n = jnp.minimum(counts_ref[t], k_budget)
-    tanx = scalars_ref[0]
-    tany = scalars_ref[1]
-    bg_r, bg_g, bg_b = scalars_ref[2], scalars_ref[3], scalars_ref[4]
-
-    # pixel coordinates of this tile, P on the lane axis
+    tanx, tany = scalars_ref[0], scalars_ref[1]
     ty = (t // cfg.tiles_x).astype(jnp.float32)
     tx = (t % cfg.tiles_x).astype(jnp.float32)
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    pi = (pid // cfg.tile).astype(jnp.float32)   # row in tile
-    pj = (pid % cfg.tile).astype(jnp.float32)    # col in tile
-    px = tx * cfg.tile + pj + 0.5                # [1, P]
+    pi = (pid // cfg.tile).astype(jnp.float32)
+    pj = (pid % cfg.tile).astype(jnp.float32)
+    px = tx * cfg.tile + pj + 0.5
     py = ty * cfg.tile + pi + 0.5
     fx = cfg.width / (2.0 * tanx)
     fy = cfg.height / (2.0 * tany)
-    dx = (px - cfg.width / 2.0) / fx
-    dy = (py - cfg.height / 2.0) / fy
-
-    # lower-triangular matmul = per-chunk cumulative sums over the entry axis
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    l_incl = (ci <= ri).astype(jnp.float32)      # includes diagonal
-    l_excl = (ci < ri).astype(jnp.float32)
+    return _TileConsts(
+        px=px, py=py,
+        dx=(px - cfg.width / 2.0) / fx, dy=(py - cfg.height / 2.0) / fy,
+        fx=fx, fy=fy,
+        l_incl=(ci <= ri).astype(jnp.float32),
+        l_excl=(ci < ri).astype(jnp.float32),
+        kk=jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0),
+    )
 
-    kk = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    def chunk_body(state):
-        (ci_, t_run, acc_a, img_r, img_g, img_b, dsum, nx, ny, nz,
-         dist, m1_run, m2_run, med) = state
-        k0 = ci_ * CHUNK
-        rows = entries_ref[0, pl.ds(k0, CHUNK), :]          # [CHUNK, 13]
+def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
+    """Composite one chunk of 32 packed rows.
 
-        def col(c):
-            return rows[:, c:c + 1]                         # [CHUNK, 1]
+    rows [CHUNK, 13]; carry = (t_run, a_run, m1_run, m2_run) each [1, P].
+    Returns (new_carry, partials [9 channels of [1, P]], aux for median).
+    Pure in (rows, carry) — the backward kernel takes jax.vjp of it.
+    """
+    t_run, a_run, m1_run, m2_run = carry
 
-        cx, cy_, cz = col(0), col(1), col(2)
-        au0, au1, au2 = col(3), col(4), col(5)
-        bv0, bv1, bv2 = col(6), col(7), col(8)
-        rr, gg, bb = col(9), col(10), col(11)
-        op = col(12)
-        gvalid = op > 0.0
+    def col(c):
+        return rows[:, c:c + 1]
 
-        # derive unit normal (au×bv, flipped toward camera), center depth and
-        # screen center from the 13 packed columns (see tiled.pack_surfels)
-        n0 = au1 * bv2 - au2 * bv1
-        n1 = au2 * bv0 - au0 * bv2
-        n2 = au0 * bv1 - au1 * bv0
-        inv = jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-20)
-        sgn = jnp.where(cx * n0 + cy_ * n1 + cz * n2 <= 0.0, inv, -inv)
-        n0, n1, n2 = n0 * sgn, n1 * sgn, n2 * sgn
-        zc = cz
-        cz_safe = jnp.where(jnp.abs(cz) < 1e-6, 1e-6, cz)
-        c2x = fx * cx / cz_safe + cfg.width / 2.0
-        c2y = fy * cy_ / cz_safe + cfg.height / 2.0
+    cx, cy_, cz = col(0), col(1), col(2)
+    au0, au1, au2 = col(3), col(4), col(5)
+    bv0, bv1, bv2 = col(6), col(7), col(8)
+    rr, gg, bb = col(9), col(10), col(11)
+    op = col(12)
+    gvalid = op > 0.0
 
-        nd = n0 * dx + n1 * dy + n2                          # [CHUNK, P]
-        nc = n0 * cx + n1 * cy_ + n2 * cz                    # [CHUNK, 1]
-        nd_ok = jnp.abs(nd) >= 1e-8
-        nd_safe = jnp.where(nd_ok, nd, 1e-8)
-        tt = nc / nd_safe
-        dau = au0 * dx + au1 * dy + au2
-        dbv = bv0 * dx + bv1 * dy + bv2
-        cau = au0 * cx + au1 * cy_ + au2 * cz
-        cbv = bv0 * cx + bv1 * cy_ + bv2 * cz
-        u = tt * dau - cau
-        v = tt * dbv - cbv
-        rho3d = jnp.where(nd_ok, u * u + v * v, jnp.inf)
-        d2 = (px - c2x) ** 2 + (py - c2y) ** 2
-        rho2d = cfg.filter2d_invsq * d2
-        use3d = rho3d <= rho2d
-        rho = jnp.where(use3d, rho3d, rho2d)
-        depth = jnp.where(use3d, tt, zc)
+    # derived: unit normal flipped toward camera, center depth, screen center
+    n0 = au1 * bv2 - au2 * bv1
+    n1 = au2 * bv0 - au0 * bv2
+    n2 = au0 * bv1 - au1 * bv0
+    inv = jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-20)
+    sgn = jnp.where(cx * n0 + cy_ * n1 + cz * n2 <= 0.0, inv, -inv)
+    n0, n1, n2 = n0 * sgn, n1 * sgn, n2 * sgn
+    cz_safe = jnp.where(jnp.abs(cz) < 1e-6, 1e-6, cz)
+    c2x = tc.fx * cx / cz_safe + cfg.width / 2.0
+    c2y = tc.fy * cy_ / cz_safe + cfg.height / 2.0
 
-        alpha = jnp.minimum(0.99, op * jnp.exp(-0.5 * rho))
-        evalid = (k0 + kk) < n
-        keep = (alpha >= cfg.alpha_min) & (depth >= cfg.near_cull) & gvalid & evalid
-        alpha = jnp.where(keep, alpha, 0.0)
+    nd = n0 * tc.dx + n1 * tc.dy + n2
+    nc = n0 * cx + n1 * cy_ + n2 * cz
+    nd_ok = jnp.abs(nd) >= 1e-8
+    nd_safe = jnp.where(nd_ok, nd, 1e-8)
+    tt = nc / nd_safe
+    dau = au0 * tc.dx + au1 * tc.dy + au2
+    dbv = bv0 * tc.dx + bv1 * tc.dy + bv2
+    cau = au0 * cx + au1 * cy_ + au2 * cz
+    cbv = bv0 * cx + bv1 * cy_ + bv2 * cz
+    u = tt * dau - cau
+    v = tt * dbv - cbv
+    rho3d = jnp.where(nd_ok, u * u + v * v, jnp.inf)
+    d2 = (tc.px - c2x) ** 2 + (tc.py - c2y) ** 2
+    rho2d = cfg.filter2d_invsq * d2
+    use3d = rho3d <= rho2d
+    rho = jnp.where(use3d, rho3d, rho2d)
+    depth = jnp.where(use3d, tt, cz)
 
-        log_t = jnp.log1p(-alpha)
-        dot32 = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
-        cum_in = dot32(l_incl, log_t)                        # inclusive cumsum
-        t_excl = t_run * jnp.exp(cum_in - log_t)
-        live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
-        w = jnp.where(live, alpha * t_excl, 0.0)
+    alpha = jnp.minimum(0.99, op * jnp.exp(-0.5 * rho))
+    evalid = (k0 + tc.kk) < n
+    keep = (alpha >= cfg.alpha_min) & (depth >= cfg.near_cull) & gvalid & evalid
+    alpha = jnp.where(keep, alpha, 0.0)
 
-        img_r = img_r + jnp.sum(w * rr, 0, keepdims=True)
-        img_g = img_g + jnp.sum(w * gg, 0, keepdims=True)
-        img_b = img_b + jnp.sum(w * bb, 0, keepdims=True)
-        acc_a = acc_a + jnp.sum(w, 0, keepdims=True)
-        dsum = dsum + jnp.sum(w * depth, 0, keepdims=True)
-        nx = nx + jnp.sum(w * n0, 0, keepdims=True)
-        ny = ny + jnp.sum(w * n1, 0, keepdims=True)
-        nz = nz + jnp.sum(w * n2, 0, keepdims=True)
+    log_t = jnp.log1p(-alpha)
+    cum_in = _dot32(tc.l_incl, log_t)
+    t_excl = t_run * jnp.exp(cum_in - log_t)
+    live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
+    w = jnp.where(live, alpha * t_excl, 0.0)
 
-        # median: depth of the last contributing entry with t_excl > 0.5
-        mmask = (t_excl > 0.5) & (w > 0.0)
-        midx = jnp.max(jnp.where(mmask, kk, -1), 0, keepdims=True)   # [1,P]
-        onehot = (kk == midx).astype(jnp.float32)
-        dsel = jnp.sum(onehot * depth, 0, keepdims=True)
-        med = jnp.where(midx >= 0, dsel, med)
+    def ssum(x):
+        return jnp.sum(x, 0, keepdims=True)
 
-        # distortion with running moments
-        nrm = cfg.dist_far / (cfg.dist_far - cfg.dist_near)
-        m = nrm * (1.0 - cfg.dist_near / jnp.maximum(depth, 1e-6))
-        m = jnp.where(w > 0.0, m, 0.0)
-        a_excl = acc_a - jnp.sum(w, 0, keepdims=True) + dot32(l_excl, w)
-        m1_excl = m1_run + dot32(l_excl, w * m)
-        m2_excl = m2_run + dot32(l_excl, w * m * m)
-        dist = dist + jnp.sum(w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl),
-                              0, keepdims=True)
-        m1_run = m1_run + jnp.sum(w * m, 0, keepdims=True)
-        m2_run = m2_run + jnp.sum(w * m * m, 0, keepdims=True)
+    img_r, img_g, img_b = ssum(w * rr), ssum(w * gg), ssum(w * bb)
+    a_add = ssum(w)
+    dsum = ssum(w * depth)
+    nx, ny, nz = ssum(w * n0), ssum(w * n1), ssum(w * n2)
 
-        t_run = t_run * jnp.exp(jnp.sum(log_t, 0, keepdims=True))
-        return (ci_ + 1, t_run, acc_a, img_r, img_g, img_b, dsum,
-                nx, ny, nz, dist, m1_run, m2_run, med)
+    nrm_c = cfg.dist_far / (cfg.dist_far - cfg.dist_near)
+    m = nrm_c * (1.0 - cfg.dist_near / jnp.maximum(depth, 1e-6))
+    m = jnp.where(w > 0.0, m, 0.0)
+    a_excl = a_run + _dot32(tc.l_excl, w)
+    m1_excl = m1_run + _dot32(tc.l_excl, w * m)
+    m2_excl = m2_run + _dot32(tc.l_excl, w * m * m)
+    dist = ssum(w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl))
 
-    def chunk_cond(state):
-        ci_, t_run = state[0], state[1]
-        more = ci_ * CHUNK < n
-        alive = jnp.max(t_run) >= cfg.transmittance_min
-        return jnp.logical_and(more, alive)
+    new_carry = (
+        t_run * jnp.exp(ssum(log_t)),
+        a_run + a_add,
+        m1_run + ssum(w * m),
+        m2_run + ssum(w * m * m),
+    )
+    partials = (img_r, img_g, img_b, a_add, dsum, nx, ny, nz, dist)
+    aux = (t_excl, w, depth)
+    return new_carry, partials, aux
 
+
+def _init_carry(p):
     zero = jnp.zeros((1, p), jnp.float32)
-    one = jnp.ones((1, p), jnp.float32)
-    init = (jnp.int32(0), one, zero, zero, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, zero)
-    (_, t_run, acc_a, img_r, img_g, img_b, dsum,
-     nx, ny, nz, dist, _, _, med) = jax.lax.while_loop(chunk_cond, chunk_body, init)
+    return (jnp.ones((1, p), jnp.float32), zero, zero, zero)
 
-    rest = 1.0 - acc_a
-    out_ref[0, 0, :] = (img_r + rest * bg_r)[0]
-    out_ref[0, 1, :] = (img_g + rest * bg_g)[0]
-    out_ref[0, 2, :] = (img_b + rest * bg_b)[0]
-    out_ref[0, 3, :] = acc_a[0]
-    # alpha-normalized expected depth (nan-safe), as the wrapper expects
-    out_ref[0, 4, :] = jnp.where(acc_a > 1e-6, dsum / jnp.maximum(acc_a, 1e-6), 0.0)[0]
+
+def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
+                cfg: RasterizeConfig):
+    t = pl.program_id(0)
+    p = cfg.tile * cfg.tile
+    n = jnp.minimum(counts_ref[t], cfg.tile_budget)
+    tc = _tile_consts(t, scalars_ref, cfg)
+    zero = jnp.zeros((1, p), jnp.float32)
+
+    def body(state):
+        ci, carry, acc, med = state
+        k0 = ci * CHUNK
+        rows = entries_ref[0, pl.ds(k0, CHUNK), :]
+        new_carry, partials, (t_excl, w, depth) = _chunk_fn(rows, carry, k0, n, tc, cfg)
+        acc = tuple(a + pa for a, pa in zip(acc, partials))
+        mmask = (t_excl > 0.5) & (w > 0.0)
+        midx = jnp.max(jnp.where(mmask, tc.kk, -1), 0, keepdims=True)
+        dsel = jnp.sum((tc.kk == midx).astype(jnp.float32) * depth, 0, keepdims=True)
+        med = jnp.where(midx >= 0, dsel, med)
+        return ci + 1, new_carry, acc, med
+
+    def cond(state):
+        ci, carry = state[0], state[1]
+        return jnp.logical_and(ci * CHUNK < n,
+                               jnp.max(carry[0]) >= cfg.transmittance_min)
+
+    init = (jnp.int32(0), _init_carry(p), tuple(zero for _ in range(9)), zero)
+    _, _, acc, med = jax.lax.while_loop(cond, body, init)
+    img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
+
+    out_ref[0, 0, :] = img_r[0]
+    out_ref[0, 1, :] = img_g[0]
+    out_ref[0, 2, :] = img_b[0]
+    out_ref[0, 3, :] = a_acc[0]
+    out_ref[0, 4, :] = dsum[0]
     out_ref[0, 5, :] = med[0]
     out_ref[0, 6, :] = nx[0]
     out_ref[0, 7, :] = ny[0]
@@ -183,30 +210,124 @@ def _blend_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *, cfg: Rasteri
     out_ref[0, 9, :] = dist[0]
 
 
-def blend_tiles_pallas(entries: jnp.ndarray, counts: jnp.ndarray,
-                       tanfovx, tanfovy, bg, cfg: RasterizeConfig) -> jnp.ndarray:
-    """entries [T, K, 20] (per-tile depth-sorted windows), counts [T] int32.
-    Returns [T, NUM_CHANNELS, P] composited channel maps."""
+def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, *,
+                cfg: RasterizeConfig, carry_scratch):
+    """cot_ref [1, NUM_CHANNELS, P] output cotangents (median's is ignored);
+    grad_ref [1, K, 13] per-entry gradients."""
+    t = pl.program_id(0)
+    p = cfg.tile * cfg.tile
+    k_budget = cfg.tile_budget
+    n = jnp.minimum(counts_ref[t], k_budget)
+    tc = _tile_consts(t, scalars_ref, cfg)
+
+    grad_ref[0, :, :] = jnp.zeros((k_budget, PACK_COLS), jnp.float32)
+
+    # 1) replay forward, storing each chunk's carry-in in VMEM scratch
+    def fbody(state):
+        ci, carry = state
+        carry_scratch[ci, 0, :] = carry[0][0]
+        carry_scratch[ci, 1, :] = carry[1][0]
+        carry_scratch[ci, 2, :] = carry[2][0]
+        carry_scratch[ci, 3, :] = carry[3][0]
+        rows = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+        new_carry, _, _ = _chunk_fn(rows, carry, ci * CHUNK, n, tc, cfg)
+        return ci + 1, new_carry
+
+    def fcond(state):
+        ci, carry = state
+        return jnp.logical_and(ci * CHUNK < n,
+                               jnp.max(carry[0]) >= cfg.transmittance_min)
+
+    n_done, _ = jax.lax.while_loop(fcond, fbody, (jnp.int32(0), _init_carry(p)))
+
+    # 2) reverse pass: vjp of the shared chunk function per chunk
+    cot = tuple(cot_ref[0, c, :][None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
+
+    def bbody(ci_rev, d_carry):
+        ci = n_done - 1 - ci_rev
+        k0 = ci * CHUNK
+        rows = entries_ref[0, pl.ds(k0, CHUNK), :]
+        carry = tuple(carry_scratch[ci, j, :][None, :] for j in range(4))
+
+        def f(r, c):
+            new_carry, partials, _ = _chunk_fn(r, c, k0, n, tc, cfg)
+            return new_carry, partials
+
+        _, vjp_fn = jax.vjp(f, rows, carry)
+        d_rows, d_carry_in = vjp_fn((d_carry, cot))
+        grad_ref[0, pl.ds(k0, CHUNK), :] = d_rows
+        return d_carry_in
+
+    zero = jnp.zeros((1, p), jnp.float32)
+    d_carry0 = (zero, zero, zero, zero)
+    jax.lax.fori_loop(0, n_done, bbody, d_carry0)
+
+
+def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
-    scalars = jnp.stack([
-        jnp.asarray(tanfovx, jnp.float32).reshape(()),
-        jnp.asarray(tanfovy, jnp.float32).reshape(()),
-        bg[0].astype(jnp.float32), bg[1].astype(jnp.float32),
-        bg[2].astype(jnp.float32),
-    ])
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # counts, scalars
+        num_scalar_prefetch=2,
         grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, cfg.tile_budget, entries.shape[-1]),
-                         lambda t, *_: (t, 0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((1, cfg.tile_budget, PACK_COLS),
+                               lambda t, *_: (t, 0, 0))],
         out_specs=pl.BlockSpec((1, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_blend_kernel, cfg=cfg),
+        functools.partial(_fwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32),
     )(counts, scalars, entries)
+
+
+def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
+    t_tiles = cfg.num_tiles
+    p = cfg.tile * cfg.tile
+    max_chunks = cfg.tile_budget // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, cfg.tile_budget, PACK_COLS), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.tile_budget, PACK_COLS),
+                               lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((max_chunks, 4, p), jnp.float32)],
+    )
+
+    def kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, scratch):
+        _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref,
+                    cfg=cfg, carry_scratch=scratch)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
+                                       jnp.float32),
+    )(counts, scalars, entries, cot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blend_tiles_pallas(entries, counts, scalars, cfg: RasterizeConfig):
+    """entries [T, K, 13] depth-sorted per-tile windows; counts [T] int32;
+    scalars [2] = (tanfovx, tanfovy). Returns raw accumulator maps
+    [T, NUM_CHANNELS, P] (no bg blend, unnormalized depth).
+    Differentiable w.r.t. `entries` via the Pallas backward kernel
+    (median channel's gradient is defined as 0, like the CUDA reference
+    which never backprops the median)."""
+    return _run_fwd(entries, counts, scalars, cfg)
+
+
+def _vjp_fwd(entries, counts, scalars, cfg):
+    out = _run_fwd(entries, counts, scalars, cfg)
+    return out, (entries, counts, scalars)
+
+
+def _vjp_bwd(cfg, residuals, cot):
+    entries, counts, scalars = residuals
+    d_entries = _run_bwd(entries, counts, scalars, cot, cfg)
+    return d_entries, None, None
+
+
+blend_tiles_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -36,6 +36,27 @@ from lara_tpu.ops.rasterizer.types import ProjectedSurfels, RasterizeConfig, Ren
 _GIDX_BITS = 19  # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
 
 
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray, inv_perm: jnp.ndarray):
+    """x[perm] with a gather-based transpose.
+
+    XLA transposes a gather into a scatter-add (56ms at LaRa scale on TPU);
+    for a permutation the transpose is just a gather by the inverse
+    permutation (~5ms)."""
+    return x[perm]
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
 PACK_COLS = 13
 
 
@@ -80,7 +101,8 @@ def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
     assert n <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
     assert cfg.num_tiles < (1 << 11)
     order = jnp.argsort(jnp.where(g.valid, g.depth, jnp.inf))
-    packed = pack_surfels(g)[order]
+    inv_order = jnp.argsort(order)
+    packed = permute_rows(pack_surfels(g), order, inv_order)
     c2d = g.center2d[order]
     radius = g.radius[order]
     valid = g.valid[order]

@@ -68,3 +68,34 @@ def test_pallas_early_termination_semantics(monkeypatch):
     np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image), atol=2e-4)
     np.testing.assert_allclose(np.asarray(pal.depth_median),
                                np.asarray(ref.depth_median), atol=1e-3)
+
+
+def test_pallas_gradients_match_tiled(monkeypatch):
+    """Custom-VJP Pallas backward vs XLA autodiff of the tiled backend."""
+    pb, orig, patched = _pallas_interpret()
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+
+    cfg = make_cfg(tile_budget=64, dup=2)
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(9), 120)
+    op_raw = jnp.clip(jax.random.normal(jax.random.PRNGKey(10), (120,)), -1, 1)
+    sc_raw = jnp.log(scales)
+    bg = jnp.full((3,), 0.3)
+    tgt = jax.random.uniform(jax.random.PRNGKey(11), (64, 64, 3))
+
+    def loss(render_fn, params):
+        m, s, o, sc, q = params
+        out = render_fn(m, s, jax.nn.sigmoid(o), jnp.exp(sc), q, cam, bg, cfg)
+        return (jnp.mean((out.image - tgt) ** 2)
+                + 0.05 * jnp.mean(out.distortion)
+                + 0.02 * jnp.mean(out.normal)
+                + 0.01 * jnp.mean(out.depth_expected)
+                + 0.01 * jnp.mean(out.alpha))
+
+    params = (means, shs, op_raw, sc_raw, quats)
+    g_til = jax.grad(lambda p: loss(rasterize_tiled, p))(params)
+    g_pal = jax.grad(lambda p: loss(rasterize_pallas, p))(params)
+    for a, b, name in zip(g_til, g_pal, ["means", "shs", "op", "scales", "quats"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
