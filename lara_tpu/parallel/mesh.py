@@ -43,3 +43,27 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         return jax.device_put(x, sh)
 
     return {k: (v if k == "meta" else jax.tree.map(put, v)) for k, v in batch.items()}
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator with async device transfer `size` batches
+    ahead (device_put is async — enqueueing ahead overlaps H2D with compute;
+    replaces torch DataLoader's pin_memory+prefetch role)."""
+    import collections
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                return
+            sharded = shard_batch(batch, mesh)
+            queue.append((sharded, batch.get("meta")))
+
+    enqueue(size)
+    while queue:
+        sharded, meta = queue.popleft()
+        enqueue(1)
+        yield sharded, meta

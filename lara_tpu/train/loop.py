@@ -36,6 +36,21 @@ class Trainer:
         self.mesh = make_mesh()
         self.net = LaRaNet(cfg)
         self._writer = None
+        self._preempted = False
+        self._install_preemption_handler()
+
+    def _install_preemption_handler(self):
+        """Checkpoint-on-SIGTERM (preemption safety; the reference has no
+        recovery beyond manual restart — SURVEY.md §5.3)."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not in the main thread (e.g. under a test runner)
 
     @property
     def writer(self):
@@ -57,8 +72,34 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         batch = {k: v for k, v in sample_batch.items() if k != "meta"}
         params = self.net.init(rng, batch, with_fine=True, train=False)
+        params = self._maybe_load_encoder(params)
         tx, _ = make_optimizer(self.cfg.train, max_iters)
         return TrainState.create(apply_fn=self.net.apply, params=params, tx=tx)
+
+    def _maybe_load_encoder(self, params):
+        """Load pretrained DINO encoder weights from a local timm state-dict
+        file when configured (the reference downloads them from the hub,
+        lightning/network.py:44; this container has no egress)."""
+        path = self.cfg.model.encoder_pretrained_path
+        if not path or not os.path.exists(path):
+            return params
+        import numpy as np
+
+        from lara_tpu.models.vit import convert_timm_state_dict
+
+        if path.endswith(".npz"):
+            state = dict(np.load(path))
+        else:
+            import torch
+
+            state = {k: v.numpy() for k, v in
+                     torch.load(path, map_location="cpu").items()}
+        converted = convert_timm_state_dict(state, depth=self.cfg.model.encoder_depth)
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["img_encoder"] = converted
+        print(f"loaded pretrained encoder from {path}")
+        return params
 
     def fit(self, max_steps: Optional[int] = None) -> Dict:
         cfg = self.cfg
@@ -99,14 +140,18 @@ class Trainer:
         t0 = time.time()
         last_stats: Dict = {}
 
+        from lara_tpu.parallel.mesh import device_prefetch
+
         for epoch in range(start_epoch, t.n_epoch):
             train_loader.set_epoch(epoch)
-            for i, batch in enumerate(train_loader):
+            prefetched = device_prefetch(iter(train_loader), self.mesh)
+            for i, (sb, _meta) in enumerate(prefetched):
                 if i >= batches_per_epoch:
                     break
                 global_step = micro // t.grad_accum
                 fn = step_fine if global_step > t.start_fine else step_coarse
-                sb = shard_batch(batch, self.mesh)
+                batch = sb  # host copies only needed for vis panels
+                sb = dict(sb)
                 sb.pop("meta", None)
                 state, stats = fn(state, sb)
                 micro += 1
@@ -118,6 +163,11 @@ class Trainer:
                 if t.vis_every_n_steps and global_step > 0 and \
                         micro % (t.vis_every_n_steps * t.grad_accum) == 0:
                     self._vis(state, batch, sb, global_step, "train")
+                if self._preempted:
+                    ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
+                    print(f"[preempt] checkpoint saved at step {int(state.step)}")
+                    self.state = state
+                    return last_stats
                 if max_steps is not None and micro >= max_steps:
                     break
             else:

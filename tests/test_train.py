@@ -115,3 +115,17 @@ def test_synthetic_dataset_schema(tmp_path):
     loader.set_epoch(0)
     s4 = [b["meta"][0]["scene"] for b in loader]
     assert s3 != s4
+
+
+def test_device_prefetch_order_and_sharding():
+    from lara_tpu.parallel.mesh import device_prefetch, make_mesh
+
+    mesh = make_mesh()
+    batches = [{"x": np.full((8, 2), i, np.float32), "meta": [i]} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, (sb, meta) in enumerate(out):
+        assert meta == [i]
+        assert float(sb["x"][0, 0]) == i
+        # leading axis sharded over the dp mesh axis
+        assert len(sb["x"].sharding.device_set) == 8
