@@ -46,7 +46,8 @@ def main(argv=None):
     net = LaRaNet(cfg)
     sample = next(iter(loader))
     arrays = {k: jnp.asarray(v) for k, v in sample.items() if k != "meta"}
-    params = net.init(jax.random.PRNGKey(0), arrays, with_fine=True, train=False)
+    params = jax.jit(lambda r: net.init(r, arrays, with_fine=True, train=False))(
+        jax.random.PRNGKey(0))
     if cfg.infer.ckpt_path:
         params = ckpt.restore_params(cfg.infer.ckpt_path)
         print(f"restored params from {cfg.infer.ckpt_path}")

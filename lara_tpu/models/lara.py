@@ -189,9 +189,26 @@ class LaRaNet(nn.Module):
             c, s, o, sc, q = gauss
             return render_view(cam, rays, c, s, o, sc, q, bg, rcfg)
 
-        # vmap over views (shared surfels), then over batch.
-        render_views = jax.vmap(render_bn, in_axes=(0, 0, 0, None))
-        render_batch = jax.vmap(render_views, in_axes=(0, 0, 0, 0))
+        # Sequential scan over scenes and views, NOT vmap: batching the
+        # rasterizer's sort/searchsorted/pallas stages over B·N views lowers
+        # catastrophically on TPU (measured 48 s/step vs ~1 s), and a single
+        # 512² render already saturates the chip.
+        def render_views(cams_v, rays_v, bgs_v, gauss):
+            def view_body(_, inp):
+                cam, rays_i, bg = inp
+                return None, render_bn(cam, rays_i, bg, gauss)
+
+            _, frames = jax.lax.scan(view_body, None, (cams_v, rays_v, bgs_v))
+            return frames
+
+        def render_batch(cams_b, rays_b, bgs_b, gauss_b):
+            def scene_body(_, inp):
+                cam_v, rays_v, bg_v, gauss = inp
+                return None, render_views(cam_v, rays_v, bg_v, gauss)
+
+            _, out = jax.lax.scan(scene_body, None,
+                                  (cams_b, rays_b, bgs_b, gauss_b))
+            return out
 
         gauss_c = (centers_c, sh_c, opacity_c, scaling_c, rotation_c)
         out = render_batch(cams, rays_full, bg_colors, gauss_c)  # [B,N,H,W,...]

@@ -71,7 +71,11 @@ class Trainer:
     def init_state(self, sample_batch: Dict, max_iters: int) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         batch = {k: v for k, v in sample_batch.items() if k != "meta"}
-        params = self.net.init(rng, batch, with_fine=True, train=False)
+        # jit the init: op-by-op eager init costs 20+ min through the
+        # remote-dispatch tunnel vs seconds jitted
+        init_fn = jax.jit(lambda r: self.net.init(r, batch, with_fine=True,
+                                                  train=False))
+        params = init_fn(rng)
         params = self._maybe_load_encoder(params)
         tx, _ = make_optimizer(self.cfg.train, max_iters)
         return TrainState.create(apply_fn=self.net.apply, params=params, tx=tx)
