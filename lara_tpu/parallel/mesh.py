@@ -36,13 +36,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with the leading axis split over dp.
-    Non-array entries (e.g. `meta`) are passed through."""
+    Non-array entries (e.g. `meta`) are passed through.
+
+    On a single-device mesh the batch is passed through UNCOMMITTED (no
+    device_put at all): the axon TPU backend executes computations whose
+    inputs carry *committed* placements — NamedSharding or even plain
+    single-device — through a pathologically slow path (measured 59 s vs
+    1.1 s for an otherwise identical train step). jit moves uncommitted
+    arrays to the device itself."""
+    if mesh.devices.size == 1:
+        return dict(batch)
     sh = batch_sharding(mesh)
 
     def put(x):
         return jax.device_put(x, sh)
 
     return {k: (v if k == "meta" else jax.tree.map(put, v)) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a train state's arrays across the mesh (explicit placement
+    instead of jit sharding constraints — see lara_tpu/train/step.py)."""
+    if mesh.devices.size <= 1:
+        return state
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x,
+                        state)
 
 
 def device_prefetch(iterator, mesh: Mesh, size: int = 2):

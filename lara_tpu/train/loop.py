@@ -119,6 +119,8 @@ class Trainer:
                                       num_workers=0)))
         max_iters = self._num_opt_steps(train_loader)
         state = self.init_state(sample, max_iters)
+        from lara_tpu.parallel.mesh import replicate_state
+        state = replicate_state(state, self.mesh)
 
         start_epoch = 0
         ckpt_dir = os.path.join(self.workdir, "ckpts")
