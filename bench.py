@@ -56,8 +56,10 @@ def main():
 
     H = W = 512
     # Pallas kernels for both forward and backward (custom VJP with per-tile
-    # early termination in each direction).
-    cfg = RasterizeConfig(height=H, width=W, tile=16, dup=3, tile_budget=256,
+    # early termination in each direction), at the production training
+    # config (dup=2, budget 128 — matches RenderConfig defaults; truncation
+    # is exact wherever transmittance saturates, tests/test_rasterizer.py).
+    cfg = RasterizeConfig(height=H, width=W, tile=16, dup=2, tile_budget=128,
                           tile_chunk=32, sh_degree=1, backend="pallas")
     cfg_grad = cfg
 
