@@ -206,15 +206,19 @@ class Trainer:
     def _vis(self, state, batch, sharded_batch, step: int, prefix: str):
         """Render image panels with the current params (lightning/system.py:
         33-34,57-67: every 3000 steps, rank-0 only — here: host 0)."""
-        import jax
-
         if jax.process_index() != 0:
             return
         from lara_tpu.train.step import make_eval_step
 
         with_fine = step > self.cfg.train.start_fine
-        efn = make_eval_step(self.net, self.mesh, with_fine=with_fine)
-        out, _ = efn(state.params, sharded_batch, step)
+        # cache the jitted eval fns: a fresh make_eval_step each call would
+        # recompile every vis invocation
+        if not hasattr(self, "_vis_fns"):
+            self._vis_fns = {}
+        if with_fine not in self._vis_fns:
+            self._vis_fns[with_fine] = make_eval_step(self.net, self.mesh,
+                                                      with_fine=with_fine)
+        out, _ = self._vis_fns[with_fine](state.params, sharded_batch, step)
         self._log_panels(out, batch, step, prefix)
 
     def _log_panels(self, out, batch, step: int, prefix: str):
