@@ -41,6 +41,7 @@ class ModelConfig:
     vol_embedding_out_dim: int = 80
     ckpt_path: Optional[str] = None
     scene_size: float = 0.5
+    remat: bool = True  # rematerialize encoder/transformer blocks (memory)
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by

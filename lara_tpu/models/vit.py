@@ -54,6 +54,8 @@ class DinoViT(nn.Module):
     num_heads: int = 12
     native_grid: int = 14       # pos-embed stored at 224/16
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True          # rematerialize block activations (B=3 at 512²
+                                # otherwise exceeds v5e HBM by ~2GB)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -89,8 +91,9 @@ class DinoViT(nn.Module):
         cls_tok = jnp.broadcast_to(cls + pos_cls, (b, 1, self.dim)).astype(self.dtype)
         x = jnp.concatenate([cls_tok, x], axis=1)
 
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}")(x)
+            x = block_cls(self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS
 

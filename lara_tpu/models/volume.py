@@ -65,12 +65,14 @@ class GroupAttBlock(nn.Module):
     inner_dim: int
     num_heads: int
     cond_dim: int
+    block_size: int = 2
     mlp_ratio: float = 2.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray, block_size: int):
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray):
         """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens)."""
+        block_size = self.block_size
         b, d, h, w, c = x.shape
         patches = group_volume(x, block_size)                 # [B, G, l, C]
         g = patches.shape[1]
@@ -104,6 +106,7 @@ class VolTransformer(nn.Module):
     num_layers: int
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True
 
     @nn.compact
     def __call__(self, image_feats: jnp.ndarray) -> jnp.ndarray:
@@ -132,12 +135,13 @@ class VolTransformer(nn.Module):
             (1, r, r, r, self.embed_dim), jnp.float32)
         x = jnp.broadcast_to(pos, (b, r, r, r, self.embed_dim)).astype(self.dtype)
 
+        block_cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
         for i in range(self.num_layers):
             gi = i % len(self.n_groups)
-            x = GroupAttBlock(
+            x = block_cls(
                 inner_dim=self.embed_dim, num_heads=self.num_heads,
-                cond_dim=self.image_feat_dim, dtype=self.dtype,
-                name=f"layer{i}")(x, conds[gi], block_sizes[gi])
+                cond_dim=self.image_feat_dim, block_size=block_sizes[gi],
+                dtype=self.dtype, name=f"layer{i}")(x, conds[gi])
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.ConvTranspose(self.out_dim, (2, 2, 2), strides=(2, 2, 2),
