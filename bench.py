@@ -2,21 +2,53 @@
 
 Prints ONE JSON line: rendered frames/sec at 512² with the LaRa production
 workload (524,288 candidate surfels — 64³ voxels × K=2, lightning/network.py:
-306,325-326,334; BASELINE.json primary metric).
+306,325-326,334; BASELINE.json primary metric), measured at the REAL
+training rasterizer config (RenderConfig defaults: dup=3, tile_budget=128,
+visible-surfel compaction 163,840 — VERDICT r1 weak #2 asked for bench ==
+train config).
+
+Extra fields: fwd+bwd fps, the full fine train-step time at the reference
+micro-batch (B=3, 4+4 views @512², flagship 125M model) and its MFU
+(XLA cost-analysis FLOPs / measured time / 197 bf16-TFLOP/s v5e peak) —
+VERDICT r1 item 8.
 
 vs_baseline is measured against an estimated 250 fps for the reference CUDA
 `diff-surfel-rasterization` forward on A100 at the same load (the reference
 repo publishes no rasterizer-only numbers; 250 fps ≈ 4 ms/frame is a
 favorable-to-the-baseline estimate for 2DGS ray-splat kernels at 512² with
 ~500k splats). Driver target: vs_baseline ≥ 2.0 (BASELINE.md).
+
+Timing method: the axon backend's `block_until_ready` does not reliably
+synchronize, and a single value fetch costs ~100+ ms through the remote
+tunnel — so every measurement times two rep counts, each ended by a scalar
+fetch, and reports the slope (t(R2)-t(R1))/(R2-R1).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 A100_BASELINE_FPS = 250.0
+V5E_PEAK_FLOPS = 197e12  # bf16
+
+
+def _slope_time(fn, args, r1, r2, fetch):
+    """Seconds per call via two-rep-count slope; `fetch(out)` must force."""
+    out = fn(*args)
+    fetch(out)  # warmup/compile
+
+    def run(reps):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(reps):
+            o = fn(*args)
+        fetch(o)
+        return time.perf_counter() - t0
+
+    a, b = run(r1), run(r2)
+    return max((b - a) / (r2 - r1), 1e-9)
 
 
 def lara_workload(n=64 ** 3 * 2, seed=0):
@@ -45,7 +77,7 @@ def lara_workload(n=64 ** 3 * 2, seed=0):
     return means, shs, op_raw, sc_raw, quats
 
 
-def main():
+def bench_rasterizer():
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +87,13 @@ def main():
     from lara_tpu.ops.renderer import render_view
 
     H = W = 512
-    # Pallas kernels for both forward and backward (custom VJP with per-tile
-    # early termination in each direction), at the production training
-    # config (dup=2, budget 128 — matches RenderConfig defaults; truncation
-    # is exact wherever transmittance saturates, tests/test_rasterizer.py).
-    cfg = RasterizeConfig(height=H, width=W, tile=16, dup=2, tile_budget=128,
-                          tile_chunk=32, sh_degree=1, backend="pallas")
-    cfg_grad = cfg
+    r = RenderConfig()  # the PRODUCTION training defaults — what train.py runs
+    cfg = RasterizeConfig(
+        height=H, width=W, tile=r.tile, dup=r.dup, tile_budget=r.tile_budget,
+        tile_chunk=r.tile_chunk, sh_degree=1,
+        visible_budget=r.visible_budget,
+        pallas_chunk=min(r.pallas_chunk, r.tile_budget),
+        pallas_tiles_per_step=r.pallas_tiles_per_step, backend="pallas")
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)
@@ -76,36 +108,105 @@ def main():
     @jax.jit
     def fwdbwd(means, shs, op_raw, sc_raw, quats):
         def loss(*args):
-            f = render_view(cam, None, *args, bg, cfg_grad)
+            f = render_view(cam, None, *args, bg, cfg)
             return jnp.mean(f["image"]) + jnp.mean(f["rend_dist"])
         return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(means, shs, op_raw, sc_raw, quats)
 
     args = (means, shs, op_raw, sc_raw, quats)
+    t_fwd = _slope_time(fwd, args, 10, 40,
+                        lambda o: float(jnp.sum(o[0, :2])))
+    t_fb = _slope_time(fwdbwd, args, 5, 20,
+                       lambda o: float(jnp.sum(o[0][0])))
+    return 1.0 / t_fwd, 1.0 / t_fb, cfg
 
-    # warmup/compile
-    fwd(*args)[0, 0].block_until_ready()
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(*args)
-    out.block_until_ready()
-    fwd_fps = reps / (time.perf_counter() - t0)
 
-    g = fwdbwd(*args)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        g = fwdbwd(*args)
-    jax.block_until_ready(g)
-    train_fps = reps / (time.perf_counter() - t0)
+def bench_train_step():
+    """Full fine train step (model fwd + losses + AdamW) at the reference
+    micro-batch B=3, 4 input + 4 supervision views, 512²."""
+    import jax
+    import jax.numpy as jnp
+
+    from lara_tpu.config import Config, TrainConfig
+    from lara_tpu.models import LaRaNet
+    from lara_tpu.parallel.mesh import make_mesh, shard_batch
+    from lara_tpu.train.state import TrainState, make_optimizer
+    from lara_tpu.train.step import make_train_step
+    from tests.test_model import synthetic_batch
+
+    cfg = Config(n_views=4)
+    net = LaRaNet(cfg)
+    B, H = 3, 512
+    batch = synthetic_batch(B=B, n_views=cfg.n_views, H=H, W=H)
+    params = jax.jit(lambda r: net.init(r, batch, with_fine=True,
+                                        train=False))(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_dp=1, devices=jax.devices()[:1])
+    tx, _ = make_optimizer(TrainConfig(grad_accum=1, warmup_iters=10), 1000)
+    state = TrainState.create(apply_fn=net.apply, params=params, tx=tx)
+    step = make_train_step(net, mesh, with_fine=True, grad_accum=1)
+    sb = shard_batch(batch, mesh)
+
+    flops = None
+    try:
+        lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                          else step).lower(state, sb)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    holder = {"state": state}
+
+    def one(sbatch):
+        holder["state"], stats = step(holder["state"], sbatch)
+        return stats
+
+    t = _slope_time(one, (sb,), 2, 6, lambda s: float(s["loss"]))
+    mfu = (flops / t / V5E_PEAK_FLOPS) if flops else None
+    return t, mfu, flops
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lara_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    fwd_fps, fb_fps, cfg = bench_rasterizer()
+
+    train_step_s = mfu = flops = None
+    if os.environ.get("LARA_BENCH_TRAIN", "1") != "0":
+        try:
+            train_step_s, mfu, flops = bench_train_step()
+        except Exception as e:  # report the render numbers regardless
+            print(f"# train-step bench failed: {type(e).__name__}: {e}")
+
+    extra = {
+        "fwd_bwd_fps": round(fb_fps, 2),
+        "device": str(jax.devices()[0]),
+        "raster_config": {
+            "dup": cfg.dup, "tile_budget": cfg.tile_budget,
+            "visible_budget": cfg.visible_budget,
+            "pallas_chunk": cfg.pallas_chunk,
+            "tiles_per_step": cfg.pallas_tiles_per_step},
+    }
+    if train_step_s is not None:
+        extra["train_step_s"] = round(train_step_s, 3)
+        extra["train_scenes_per_sec"] = round(3.0 / train_step_s, 3)
+    if mfu is not None:
+        extra["train_mfu"] = round(mfu, 4)
+        extra["train_step_tflops"] = round(flops / 1e12, 2)
 
     print(json.dumps({
         "metric": "render_fps_512_524k_surfels",
         "value": round(fwd_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fwd_fps / A100_BASELINE_FPS, 3),
-        "extra": {"fwd_bwd_fps": round(train_fps, 2),
-                  "device": str(jax.devices()[0])},
+        "extra": extra,
     }))
 
 

@@ -31,9 +31,9 @@ def main(argv=None):
     from lara_tpu.eval.metrics import abs_error, acc_threshold, psnr, ssim
     from lara_tpu.models import LaRaNet
     from lara_tpu.train import checkpoint as ckpt
-    from train import parse_args
+    from lara_tpu.config import parse_cli
 
-    paths, overrides = parse_args(argv if argv is not None else sys.argv[1:])
+    paths, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
     here = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(here, "configs", "base.yaml")
     infer_base = os.path.join(here, "configs", "infer.yaml")
@@ -52,15 +52,18 @@ def main(argv=None):
         params = ckpt.restore_params(cfg.infer.ckpt_path)
         print(f"restored params from {cfg.infer.ckpt_path}")
 
-    lpips_fn = _try_load_lpips()
+    lpips_vgg_fn = _try_load_lpips("vgg")
+    lpips_alex_fn = _try_load_lpips("alex")
     fwd = jax.jit(lambda p, b: net.apply(
         p, b, with_fine=True, train=False,
-        return_buffer=cfg.infer.video_frames > 0 or cfg.infer.save_mesh))
+        return_buffer=cfg.infer.video_frames > 0 or cfg.infer.save_mesh,
+        render_scale=cfg.infer.render_img_scale))
 
     os.makedirs(cfg.infer.save_folder, exist_ok=True)
     os.makedirs(cfg.infer.metric_path, exist_ok=True)
     n_view = cfg.n_views
-    names, psnrs, ssims, lpipss, depth_accs = [], [], [], [], []
+    names, psnrs, ssims, depth_accs = [], [], [], []
+    lpips_vggs, lpips_alexs = [], []
 
     for i, batch in enumerate(loader):
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "meta"}
@@ -76,12 +79,17 @@ def main(argv=None):
         else:
             pred_m, gt_m = pred, gt
         if pred_m.size:
-            flat_p = pred_m.reshape(-1, *pred_m.shape[2:])
-            flat_g = gt_m.reshape(-1, *gt_m.shape[2:])
-            psnrs.append(psnr(flat_p, flat_g))
-            ssims.append(np.mean([ssim(p, g) for p, g in zip(pred_m, gt_m)]))
-            if lpips_fn is not None:
-                lpipss.append(float(np.mean([lpips_fn(p, g) for p, g in zip(pred_m, gt_m)])))
+            # the reference scores ONE horizontal mosaic of the selected
+            # views — pooled PSNR, a single SSIM (Gaussian windows cross
+            # view seams) and a single LPIPS call (evaluation.py:75-95)
+            mosaic_p = np.concatenate(list(pred_m), axis=1)
+            mosaic_g = np.concatenate(list(gt_m), axis=1)
+            psnrs.append(psnr(mosaic_p, mosaic_g))
+            ssims.append(ssim(mosaic_p, mosaic_g))
+            if lpips_vgg_fn is not None:
+                lpips_vggs.append(lpips_vgg_fn(mosaic_g, mosaic_p))
+            if lpips_alex_fn is not None:
+                lpips_alexs.append(lpips_alex_fn(mosaic_g, mosaic_p))
 
         if len(cfg.infer.eval_depth) and "tar_dep" in batch:
             dep_key = "depth_fine" if "depth_fine" in out else "depth"
@@ -113,11 +121,13 @@ def main(argv=None):
 
     metrics = {
         "scenes": names,
-        "psnr": psnrs, "ssim": ssims, "lpips": lpipss,
+        "psnr": psnrs, "ssim": ssims,
+        "lpips_vgg": lpips_vggs, "lpips_alex": lpips_alexs,
         "depth": depth_accs,
         "mean_psnr": float(np.mean(psnrs)) if psnrs else None,
         "mean_ssim": float(np.mean(ssims)) if ssims else None,
-        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "mean_lpips_vgg": float(np.mean(lpips_vggs)) if lpips_vggs else None,
+        "mean_lpips_alex": float(np.mean(lpips_alexs)) if lpips_alexs else None,
         "mean_depth": np.mean(depth_accs, axis=0).tolist() if depth_accs else None,
     }
     out_path = os.path.join(cfg.infer.metric_path,
@@ -130,12 +140,12 @@ def main(argv=None):
     return metrics
 
 
-def _try_load_lpips():
+def _try_load_lpips(net: str = "vgg"):
     """LPIPS needs pretrained VGG/Alex weights; return None if unavailable
     offline (the architecture lives in lara_tpu/eval/lpips.py)."""
     try:
         from lara_tpu.eval.lpips import load_lpips
-        return load_lpips()
+        return load_lpips(net=net)
     except Exception:
         return None
 

@@ -59,6 +59,15 @@ class RenderConfig:
     tile_budget: int = 128
     tile_chunk: int = 32
     eval_tile_budget: int = 512
+    # nearest-surfel compaction budget before dup-expansion (see
+    # RasterizeConfig.visible_budget); ~1.2x the visible census of a trained
+    # 512² LaRa scene. 0 = keep all 524k candidates.
+    visible_budget: int = 163840
+    eval_visible_budget: int = 262144
+    # pallas blend kernel: entries per inner step (measured optimum 64 at
+    # tile_budget 128) and tiles per grid step
+    pallas_chunk: int = 64
+    pallas_tiles_per_step: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +104,10 @@ class TrainConfig:
     ckpt_every_n_epoch: int = 5  # train_lightning.py:58-64
     vis_every_n_steps: int = 3000
     seed: int = 0
+    # NaN sanitizer (counterpart of torch.autograd.set_detect_anomaly(True),
+    # train_lightning.py:30): jax_debug_nans makes any NaN-producing op
+    # raise with its location. Off by default — it forces sync dispatch.
+    detect_anomaly: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,6 +221,21 @@ def _build(dc_type, data: Dict):
 def config_from_dict(data: Dict) -> Config:
     data = _resolve_interp(data, data)
     return _build(Config, data)
+
+
+def parse_cli(argv: List[str]) -> Tuple[List[str], List[str]]:
+    """Split CLI args into (yaml paths, key=value dotlist overrides) — the
+    argument convention shared by train.py / evaluate.py / eval_all.py
+    (reference: OmegaConf.from_cli, train_lightning.py:98-101)."""
+    paths, overrides = [], []
+    for a in argv:
+        if a.endswith((".yaml", ".yml")):
+            paths.append(a)
+        elif "=" in a:
+            overrides.append(a)
+        else:
+            raise SystemExit(f"unrecognized argument: {a!r}")
+    return paths, overrides
 
 
 def load_config(*paths: str, overrides: Optional[List[str]] = None) -> Config:

@@ -70,9 +70,23 @@ class DataLoader:
         )
         lock = threading.Lock()
         cursor = [0]
+        stop_ev = threading.Event()
+
+        def put_with_backpressure(item) -> bool:
+            # A plain blocking put() would deadlock a worker forever when the
+            # consumer abandons iteration early (every epoch under
+            # limit_train_batches < 1): the generator's finally block can't
+            # drain faster than workers refill. Poll the stop event instead.
+            while not stop_ev.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
-            while True:
+            while not stop_ev.is_set():
                 with lock:
                     i = cursor[0]
                     if i >= len(batches):
@@ -80,9 +94,10 @@ class DataLoader:
                     cursor[0] += 1
                 try:
                     batch = collate([self.dataset[int(j)] for j in batches[i]])
-                    out_q.put((i, batch, None))
+                    if not put_with_backpressure((i, batch, None)):
+                        return
                 except BaseException as e:  # surfaced in the consumer
-                    out_q.put((i, None, e))
+                    put_with_backpressure((i, None, e))
                     return
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -104,5 +119,13 @@ class DataLoader:
                     yield pending.pop(next_i)
                     next_i += 1
         finally:
+            stop_ev.set()
             with lock:
-                cursor[0] = len(batches)  # stop workers
+                cursor[0] = len(batches)
+            # Drain so any worker mid-put releases immediately and its
+            # prefetched 512² batch memory is dropped with it.
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

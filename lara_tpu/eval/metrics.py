@@ -14,6 +14,8 @@ from lara_tpu.ops.msssim import ssim as ssim_jax
 
 def psnr(pred: np.ndarray, gt: np.ndarray) -> float:
     mse = float(np.mean((np.asarray(pred, np.float64) - np.asarray(gt, np.float64)) ** 2))
+    if mse == 0.0:  # identical images: define PSNR as +inf without the
+        return float("inf")  # divide-by-zero RuntimeWarning
     return float(-10.0 * np.log(mse) / np.log(10.0))
 
 

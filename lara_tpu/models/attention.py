@@ -29,8 +29,12 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None):
-        """q_in [B, Lq, dim]; kv_in [B, Lk, kv_dim] (None → self-attention)."""
+    def __call__(self, q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None,
+                 kv_mask: Optional[jnp.ndarray] = None):
+        """q_in [B, Lq, dim]; kv_in [B, Lk, kv_dim] (None → self-attention);
+        kv_mask [B, Lk] bool — False keys are excluded from the softmax
+        (torch MHA key_padding_mask semantics, used by the static-shape
+        `use_rand_views` path)."""
         if kv_in is None:
             kv_in = q_in
         h = self.num_heads
@@ -50,8 +54,10 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(bq, lk, h, hd)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(self.dtype)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
+        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(bq, lq, self.dim)
         return dense("out_proj", out_bias)(out)
 

@@ -77,14 +77,21 @@ class FineDecoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, volume_feat: jnp.ndarray, point_feats: jnp.ndarray):
+    def __call__(self, volume_feat: jnp.ndarray, point_feats: jnp.ndarray,
+                 view_mask=None):
         """volume_feat [M, in_dim]; point_feats [M, V, cond_dim] →
-        SH residual [M, sh_dim] (lightning/network.py:280-284)."""
+        SH residual [M, sh_dim] (lightning/network.py:280-284).
+        view_mask [V] bool drops deselected views (use_rand_views)."""
         q = nn.LayerNorm(dtype=self.dtype, name="norm")(
             volume_feat.astype(self.dtype))[:, None, :]          # [M,1,C]
+        kv_mask = None
+        if view_mask is not None:
+            kv_mask = jnp.broadcast_to(view_mask[None, :],
+                                       point_feats.shape[:2])
         x = MultiHeadAttention(self.in_dim, self.num_heads, kv_dim=self.cond_dim,
                                use_bias=False, dtype=self.dtype,
-                               name="cross_att")(q, point_feats.astype(self.dtype))
+                               name="cross_att")(q, point_feats.astype(self.dtype),
+                                                 kv_mask=kv_mask)
         init = nn.initializers.xavier_uniform()
         x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=init, name="fc0")(x)
         x = nn.relu(x)

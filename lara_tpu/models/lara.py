@@ -97,10 +97,14 @@ class LaRaNet(nn.Module):
         backend = r.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+        budget = r.tile_budget if train else r.eval_tile_budget
         return RasterizeConfig(
             height=H, width=W, tile=r.tile, dup=r.dup,
-            tile_budget=r.tile_budget if train else r.eval_tile_budget,
+            tile_budget=budget,
             tile_chunk=r.tile_chunk, sh_degree=self.cfg.model.sh_degree,
+            visible_budget=r.visible_budget if train else r.eval_visible_budget,
+            pallas_chunk=min(r.pallas_chunk, budget),
+            pallas_tiles_per_step=r.pallas_tiles_per_step,
             backend=backend)
 
     def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
@@ -139,14 +143,27 @@ class LaRaNet(nn.Module):
         return sampled.reshape(sampled.shape[0], reso, reso, reso, -1).astype(feats.dtype)
 
     def __call__(self, batch: Dict, with_fine: bool = False, train: bool = False,
-                 return_buffer: bool = False) -> Dict:
+                 return_buffer: bool = False, render_scale: float = 1.0) -> Dict:
         """batch follows the reference schema (SURVEY.md §1 L2 contract);
-        returns per-view maps stacked as [B, N, H, W, ...] plus `_fine`
-        variants when with_fine."""
+        returns per-view maps stacked as [B, N, H', W', ...] plus `_fine`
+        variants when with_fine. `render_scale` renders the output maps at
+        round(H·s) (snapped to the tile grid) like the reference's
+        `render_img_scale` (lightning/network.py:467,477) — the encoder and
+        fine-stage feature sampling still run at the native resolution."""
         m = self.cfg.model
         tar_rgb = batch["tar_rgb"]
         B, N, H, W, _ = tar_rgb.shape
         n_in = self.cfg.n_views
+
+        # use_rand_views (lightning/network.py:434-438) with static shapes:
+        # the loop samples n_views_sel ∈ [2, n_views] on the host and ships a
+        # boolean mask over the first n_in views; deselected views' tokens
+        # are excluded from every cross-attention KV set.
+        view_mask = batch.get("view_mask")
+        if view_mask is not None:
+            view_mask = jnp.asarray(view_mask).astype(bool)
+            view_mask = jnp.broadcast_to(view_mask.reshape(-1, n_in)[:1],
+                                         (B, n_in))
 
         imgs = tar_rgb[:, :n_in].reshape(B * n_in, H, W, 3)
         rays_down = batch["tar_rays_down"][:, :n_in]
@@ -165,7 +182,7 @@ class LaRaNet(nn.Module):
                 (B, n_in, reso, reso, reso, m.view_embed_dim)).astype(feat_vol.dtype)
             feat_vol = jnp.concatenate([feat_vol, ve], axis=-1)
 
-        volume = self.vol_decoder(feat_vol)                  # [B, 2R, 2R, 2R, out]
+        volume = self.vol_decoder(feat_vol, view_mask)       # [B, 2R, 2R, 2R, out]
         volume_feat_up = volume.reshape(B, -1, m.vol_embedding_out_dim)
 
         offset, sh_c, scaling_c, rotation_c, opacity_c = self.decoder_coarse(
@@ -182,8 +199,16 @@ class LaRaNet(nn.Module):
         cams = make_cameras(
             batch["tar_c2w"], batch["fovx"][:, None], batch["fovy"][:, None],
             batch["near_far"][:, None, 0], batch["near_far"][:, None, 1])
-        rcfg = self._render_cfg(H, W, train)
         rays_full = batch["tar_rays"]
+        if render_scale != 1.0:
+            tile = self.cfg.render.tile
+            Hs = max(tile, int(round(H * render_scale / tile)) * tile)
+            Ws = max(tile, int(round(W * render_scale / tile)) * tile)
+            rays_full = jax.image.resize(
+                rays_full, (B, N, Hs, Ws, rays_full.shape[-1]), method="linear")
+        else:
+            Hs, Ws = H, W
+        rcfg = self._render_cfg(Hs, Ws, train)
         bg_colors = batch["bg_color"].astype(jnp.float32)
 
         def render_bn(cam, rays, bg, gauss):
@@ -220,9 +245,18 @@ class LaRaNet(nn.Module):
             buffers["coarse"] = gauss_c
 
         if with_fine:
+            fine_src = out
+            if (Hs, Ws) != (H, W):
+                # fine-stage point features sample the coarse renders at the
+                # native image grid alongside the reference RGB
+                fine_src = dict(out)
+                for k in ("image", "acc_map", "depth"):
+                    a = out[k]
+                    tgt = (B, N, H, W) + a.shape[4:]
+                    fine_src[k] = jax.image.resize(a, tgt, method="linear")
             fine = self._fine_stage(
-                batch, out, volume_feat_up, centers_c, sh_c, opacity_c,
-                scaling_c, rotation_c, n_in, (H, W))
+                batch, fine_src, volume_feat_up, centers_c, sh_c, opacity_c,
+                scaling_c, rotation_c, n_in, (H, W), view_mask)
             gauss_f = fine
             out_f = render_batch(cams, rays_full, bg_colors, gauss_f)
             outputs.update({f"{k}_fine": v for k, v in out_f.items()})
@@ -233,7 +267,8 @@ class LaRaNet(nn.Module):
         return outputs
 
     def _fine_stage(self, batch, coarse_out, volume_feat_up, centers, sh_c,
-                    opacity_c, scaling_c, rotation_c, n_in: int, img_hw):
+                    opacity_c, scaling_c, rotation_c, n_in: int, img_hw,
+                    view_mask=None):
         """Static-shape fine refinement (lightning/network.py:502-525):
         select the top-`fine_budget` surfels by coarse opacity, build per-view
         point features from the coarse renders, predict an SH residual, and
@@ -275,7 +310,8 @@ class LaRaNet(nn.Module):
                 img_ref, rend_img, rend_acc, rend_dep, w2c_in, ixt_in)  # [V,M,8]
             pf = jnp.swapaxes(pf, 0, 1)                                 # [M,V,8]
 
-            sh_res = self.decoder_fine(vol_sel, pf)
+            vm = None if view_mask is None else view_mask[0]
+            sh_res = self.decoder_fine(vol_sel, pf, vm)
             sh_fine = sh_res.reshape(M, self.sh_dim // 3, 3) + sh_sel
             op_fine = jnp.where(sel_ok[:, None], op_sel, -1e4)
             return c_sel, sh_fine, op_fine, sc_sel, rot_sel

@@ -70,19 +70,24 @@ class GroupAttBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray):
-        """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens)."""
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray, cond_mask=None):
+        """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens);
+        cond_mask [B, G³, L_cond] bool (False tokens dropped from attention —
+        the static-shape use_rand_views path)."""
         block_size = self.block_size
         b, d, h, w, c = x.shape
         patches = group_volume(x, block_size)                 # [B, G, l, C]
         g = patches.shape[1]
         flat = patches.reshape(b * g, -1, c)
         cond_flat = cond.reshape(b * g, cond.shape[2], cond.shape[3]).astype(self.dtype)
+        mask_flat = (None if cond_mask is None
+                     else cond_mask.reshape(b * g, cond.shape[2]))
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(flat)
         flat = flat + MultiHeadAttention(self.inner_dim, self.num_heads,
                                          kv_dim=self.cond_dim, use_bias=False,
-                                         dtype=self.dtype, name="cross_attn")(y, cond_flat)
+                                         dtype=self.dtype, name="cross_attn")(
+                                             y, cond_flat, kv_mask=mask_flat)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(flat)
         flat = flat + Mlp(self.inner_dim, int(self.inner_dim * self.mlp_ratio),
                           dtype=self.dtype, name="mlp")(y)
@@ -109,12 +114,14 @@ class VolTransformer(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, image_feats: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, image_feats: jnp.ndarray, view_mask=None) -> jnp.ndarray:
         """image_feats [B, V, D, H, W, C_img] → volume [B, 2D, 2H, 2W, out_dim].
 
         Per-layer conditioning: the per-view feature volume is grouped with
         the layer's block size and all views' tokens of a group are flattened
-        into one KV sequence (lightning/network.py:144-150).
+        into one KV sequence (lightning/network.py:144-150). view_mask [B, V]
+        bool excludes deselected views' tokens (use_rand_views,
+        lightning/network.py:434-438, realized with static shapes).
         """
         b, v, d, h, w, c = image_feats.shape
 
@@ -126,7 +133,11 @@ class VolTransformer(nn.Module):
             g3, l = per_view.shape[1], per_view.shape[2]
             per_view = per_view.reshape(b, v, g3, l, c)
             cond = per_view.transpose(0, 2, 1, 3, 4).reshape(b, g3, v * l, c)
-            conds.append(cond)
+            if view_mask is None:
+                conds.append((cond, None))
+            else:
+                m = jnp.broadcast_to(view_mask[:, None, :, None], (b, g3, v, l))
+                conds.append((cond, m.reshape(b, g3, v * l)))
 
         r = self.vol_low_res
         pos = self.param(
@@ -138,10 +149,11 @@ class VolTransformer(nn.Module):
         block_cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
         for i in range(self.num_layers):
             gi = i % len(self.n_groups)
+            cond_i, mask_i = conds[gi]
             x = block_cls(
                 inner_dim=self.embed_dim, num_heads=self.num_heads,
                 cond_dim=self.image_feat_dim, block_size=block_sizes[gi],
-                dtype=self.dtype, name=f"layer{i}")(x, conds[gi])
+                dtype=self.dtype, name=f"layer{i}")(x, cond_i, mask_i)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.ConvTranspose(self.out_dim, (2, 2, 2), strides=(2, 2, 2),

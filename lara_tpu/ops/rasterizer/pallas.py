@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from lara_tpu.utils.camera import Camera
-from lara_tpu.ops.rasterizer.pallas_blend import CHUNK, blend_tiles_pallas
+from lara_tpu.ops.rasterizer.pallas_blend import blend_tiles_pallas
 from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
 from lara_tpu.ops.rasterizer.tiled import bin_surfels
 from lara_tpu.ops.rasterizer.types import RasterizeConfig, RenderOutput
@@ -22,7 +22,8 @@ def rasterize_pallas(
     means3d, shs, opacities, scales, rotations,
     camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
 ) -> RenderOutput:
-    assert cfg.tile_budget % CHUNK == 0, "tile_budget must be a multiple of 32"
+    assert cfg.tile_budget % cfg.pallas_chunk == 0, (
+        "tile_budget must be a multiple of pallas_chunk")
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
     packed, win_gidx, _, counts = bin_surfels(g, cfg)
     entries = packed[win_gidx]                    # [T, K, 13]

@@ -3,17 +3,21 @@
 The XLA `tiled` backend must always process its full per-tile entry budget;
 these kernels reproduce the CUDA rasterizer's key performance property
 (SURVEY.md §2.3 steps 3-4): each 16×16 tile walks its depth-sorted entry
-list in chunks of 32 and STOPS as soon as every pixel's transmittance is
-saturated. TPU grid steps run sequentially on the core, so the per-tile
-`while_loop` is a genuine early exit. The backward kernel replays the
-forward chunk walk (storing per-chunk carries in VMEM), then runs the
-reverse chunk loop computing per-entry gradients with `jax.vjp` of the
-shared per-chunk function — so forward and backward math can never drift
-apart, and the early-exit bound applies to the backward as well.
+list in chunks of `cfg.pallas_chunk` and STOPS as soon as every pixel's
+transmittance is saturated. TPU grid steps run sequentially on the core, so
+the per-tile `while_loop` is a genuine early exit. Several tiles are
+processed per grid step (`cfg.pallas_tiles_per_step`) to amortize the
+per-step DMA/pipeline overhead.
+
+Under jax.grad, the forward kernel records each processed chunk's carry-in
+as an extra output; the backward kernel then runs a single reverse chunk
+loop computing per-entry gradients with `jax.vjp` of the shared per-chunk
+function — no forward replay, and forward/backward math can never drift
+apart. The early-exit bound applies to the backward as well.
 
 Layout: pixels on the lane axis (P = tile² = 256 = 2×128 lanes), chunk
-entries on the sublane axis (32); the exclusive log-transmittance cumsum is
-a (32×32)·(32×256) lower-triangular matmul on the MXU.
+entries on the sublane axis; the exclusive log-transmittance cumsum is a
+(C×C)·(C×256) lower-triangular matmul on the MXU.
 
 The kernels emit *raw accumulators* (no background blend, unnormalized
 depth); `pallas.py` applies those as differentiable XLA ops. Equivalence
@@ -32,14 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lara_tpu.ops.rasterizer.types import RasterizeConfig
 
-CHUNK = 32          # entries composited per inner step
 NUM_CHANNELS = 10   # rgb3 + alpha + depth_sum + depth_med + normal3 + dist
 PACK_COLS = 13
 
 
-def _dot32(a, b):
+def _dotf(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _tiles_per_step(cfg: RasterizeConfig) -> int:
+    tpg = min(cfg.pallas_tiles_per_step, cfg.num_tiles)
+    while cfg.num_tiles % tpg:
+        tpg -= 1
+    return tpg
 
 
 class _TileConsts(NamedTuple):
@@ -49,13 +59,14 @@ class _TileConsts(NamedTuple):
     dy: jnp.ndarray   # [1, P]
     fx: jnp.ndarray   # scalar
     fy: jnp.ndarray   # scalar
-    l_incl: jnp.ndarray  # [CHUNK, CHUNK] lower-triangular (incl. diag)
+    l_incl: jnp.ndarray  # [C, C] lower-triangular (incl. diag)
     l_excl: jnp.ndarray
-    kk: jnp.ndarray   # [CHUNK, 1] iota
+    kk: jnp.ndarray   # [C, 1] iota
 
 
 def _tile_consts(t, scalars_ref, cfg: RasterizeConfig) -> _TileConsts:
     p = cfg.tile * cfg.tile
+    c = cfg.pallas_chunk
     tanx, tany = scalars_ref[0], scalars_ref[1]
     ty = (t // cfg.tiles_x).astype(jnp.float32)
     tx = (t % cfg.tiles_x).astype(jnp.float32)
@@ -66,22 +77,22 @@ def _tile_consts(t, scalars_ref, cfg: RasterizeConfig) -> _TileConsts:
     py = ty * cfg.tile + pi + 0.5
     fx = cfg.width / (2.0 * tanx)
     fy = cfg.height / (2.0 * tany)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     return _TileConsts(
         px=px, py=py,
         dx=(px - cfg.width / 2.0) / fx, dy=(py - cfg.height / 2.0) / fy,
         fx=fx, fy=fy,
         l_incl=(ci <= ri).astype(jnp.float32),
         l_excl=(ci < ri).astype(jnp.float32),
-        kk=jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0),
+        kk=jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0),
     )
 
 
 def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
-    """Composite one chunk of 32 packed rows.
+    """Composite one chunk of `cfg.pallas_chunk` packed rows.
 
-    rows [CHUNK, 13]; carry = (t_run, a_run, m1_run, m2_run) each [1, P].
+    rows [C, 13]; carry = (t_run, a_run, m1_run, m2_run) each [1, P].
     Returns (new_carry, partials [9 channels of [1, P]], aux for median).
     Pure in (rows, carry) — the backward kernel takes jax.vjp of it.
     """
@@ -132,7 +143,7 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     alpha = jnp.where(keep, alpha, 0.0)
 
     log_t = jnp.log1p(-alpha)
-    cum_in = _dot32(tc.l_incl, log_t)
+    cum_in = _dotf(tc.l_incl, log_t)
     t_excl = t_run * jnp.exp(cum_in - log_t)
     live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
     w = jnp.where(live, alpha * t_excl, 0.0)
@@ -148,9 +159,9 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     nrm_c = cfg.dist_far / (cfg.dist_far - cfg.dist_near)
     m = nrm_c * (1.0 - cfg.dist_near / jnp.maximum(depth, 1e-6))
     m = jnp.where(w > 0.0, m, 0.0)
-    a_excl = a_run + _dot32(tc.l_excl, w)
-    m1_excl = m1_run + _dot32(tc.l_excl, w * m)
-    m2_excl = m2_run + _dot32(tc.l_excl, w * m * m)
+    a_excl = a_run + _dotf(tc.l_excl, w)
+    m1_excl = m1_run + _dotf(tc.l_excl, w * m)
+    m2_excl = m2_run + _dotf(tc.l_excl, w * m * m)
     dist = ssum(w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl))
 
     new_carry = (
@@ -169,18 +180,32 @@ def _init_carry(p):
     return (jnp.ones((1, p), jnp.float32), zero, zero, zero)
 
 
-def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
-                cfg: RasterizeConfig):
-    t = pl.program_id(0)
+def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
+                  carries_ref, cfg: RasterizeConfig):
+    """Blend tile `t` (block-local index `ts`). When `carries_ref` is given,
+    each processed chunk's carry-IN is recorded so the backward kernel can
+    skip the forward replay; unprocessed chunk slots keep t_run=0, which
+    doubles as the processed-chunk marker (a real carry-in always has
+    max(t_run) >= transmittance_min)."""
     p = cfg.tile * cfg.tile
+    chunk = cfg.pallas_chunk
     n = jnp.minimum(counts_ref[t], cfg.tile_budget)
     tc = _tile_consts(t, scalars_ref, cfg)
     zero = jnp.zeros((1, p), jnp.float32)
 
+    if carries_ref is not None:
+        carries_ref[ts, :, :, :] = jnp.zeros(
+            (cfg.tile_budget // chunk, 4, p), jnp.float32)
+
     def body(state):
         ci, carry, acc, med = state
-        k0 = ci * CHUNK
-        rows = entries_ref[0, pl.ds(k0, CHUNK), :]
+        if carries_ref is not None:
+            carries_ref[ts, ci, 0, :] = carry[0][0]
+            carries_ref[ts, ci, 1, :] = carry[1][0]
+            carries_ref[ts, ci, 2, :] = carry[2][0]
+            carries_ref[ts, ci, 3, :] = carry[3][0]
+        k0 = ci * chunk
+        rows = entries_ref[ts, pl.ds(k0, chunk), :]
         new_carry, partials, (t_excl, w, depth) = _chunk_fn(rows, carry, k0, n, tc, cfg)
         acc = tuple(a + pa for a, pa in zip(acc, partials))
         mmask = (t_excl > 0.5) & (w > 0.0)
@@ -191,63 +216,59 @@ def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
 
     def cond(state):
         ci, carry = state[0], state[1]
-        return jnp.logical_and(ci * CHUNK < n,
+        return jnp.logical_and(ci * chunk < n,
                                jnp.max(carry[0]) >= cfg.transmittance_min)
 
     init = (jnp.int32(0), _init_carry(p), tuple(zero for _ in range(9)), zero)
     _, _, acc, med = jax.lax.while_loop(cond, body, init)
     img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
 
-    out_ref[0, 0, :] = img_r[0]
-    out_ref[0, 1, :] = img_g[0]
-    out_ref[0, 2, :] = img_b[0]
-    out_ref[0, 3, :] = a_acc[0]
-    out_ref[0, 4, :] = dsum[0]
-    out_ref[0, 5, :] = med[0]
-    out_ref[0, 6, :] = nx[0]
-    out_ref[0, 7, :] = ny[0]
-    out_ref[0, 8, :] = nz[0]
-    out_ref[0, 9, :] = dist[0]
+    out_ref[ts, 0, :] = img_r[0]
+    out_ref[ts, 1, :] = img_g[0]
+    out_ref[ts, 2, :] = img_b[0]
+    out_ref[ts, 3, :] = a_acc[0]
+    out_ref[ts, 4, :] = dsum[0]
+    out_ref[ts, 5, :] = med[0]
+    out_ref[ts, 6, :] = nx[0]
+    out_ref[ts, 7, :] = ny[0]
+    out_ref[ts, 8, :] = nz[0]
+    out_ref[ts, 9, :] = dist[0]
 
 
-def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, *,
-                cfg: RasterizeConfig, carry_scratch):
-    """cot_ref [1, NUM_CHANNELS, P] output cotangents (median's is ignored);
-    grad_ref [1, K, 13] per-entry gradients."""
-    t = pl.program_id(0)
+def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
+                cfg: RasterizeConfig, tpg: int, carries_ref=None):
+    for ts in range(tpg):
+        t = pl.program_id(0) * tpg + ts
+        _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
+                      carries_ref, cfg)
+
+
+def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carries_ref,
+                  cot_ref, grad_ref, cfg: RasterizeConfig):
     p = cfg.tile * cfg.tile
+    chunk = cfg.pallas_chunk
     k_budget = cfg.tile_budget
+    max_chunks = k_budget // chunk
     n = jnp.minimum(counts_ref[t], k_budget)
     tc = _tile_consts(t, scalars_ref, cfg)
 
-    grad_ref[0, :, :] = jnp.zeros((k_budget, PACK_COLS), jnp.float32)
+    grad_ref[ts, :, :] = jnp.zeros((k_budget, PACK_COLS), jnp.float32)
 
-    # 1) replay forward, storing each chunk's carry-in in VMEM scratch
-    def fbody(state):
-        ci, carry = state
-        carry_scratch[ci, 0, :] = carry[0][0]
-        carry_scratch[ci, 1, :] = carry[1][0]
-        carry_scratch[ci, 2, :] = carry[2][0]
-        carry_scratch[ci, 3, :] = carry[3][0]
-        rows = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
-        new_carry, _, _ = _chunk_fn(rows, carry, ci * CHUNK, n, tc, cfg)
-        return ci + 1, new_carry
+    # chunk ci was processed by the forward iff its recorded carry-in has a
+    # live transmittance somewhere (chunk 0's carry-in is all-ones; processed
+    # chunks form a prefix, so a masked count recovers n_done)
+    t_runs = carries_ref[ts, :, 0, :]                       # [max_chunks, P]
+    live = jnp.max(t_runs, axis=1, keepdims=True) >= cfg.transmittance_min
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (max_chunks, 1), 0)
+    n_done = jnp.sum(jnp.where(live & (kidx * chunk < n), 1, 0))
 
-    def fcond(state):
-        ci, carry = state
-        return jnp.logical_and(ci * CHUNK < n,
-                               jnp.max(carry[0]) >= cfg.transmittance_min)
-
-    n_done, _ = jax.lax.while_loop(fcond, fbody, (jnp.int32(0), _init_carry(p)))
-
-    # 2) reverse pass: vjp of the shared chunk function per chunk
-    cot = tuple(cot_ref[0, c, :][None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
+    cot = tuple(cot_ref[ts, c, :][None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
 
     def bbody(ci_rev, d_carry):
         ci = n_done - 1 - ci_rev
-        k0 = ci * CHUNK
-        rows = entries_ref[0, pl.ds(k0, CHUNK), :]
-        carry = tuple(carry_scratch[ci, j, :][None, :] for j in range(4))
+        k0 = ci * chunk
+        rows = entries_ref[ts, pl.ds(k0, chunk), :]
+        carry = tuple(carries_ref[ts, ci, j, :][None, :] for j in range(4))
 
         def f(r, c):
             new_carry, partials, _ = _chunk_fn(r, c, k0, n, tc, cfg)
@@ -255,7 +276,7 @@ def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, *,
 
         _, vjp_fn = jax.vjp(f, rows, carry)
         d_rows, d_carry_in = vjp_fn((d_carry, cot))
-        grad_ref[0, pl.ds(k0, CHUNK), :] = d_rows
+        grad_ref[ts, pl.ds(k0, chunk), :] = d_rows
         return d_carry_in
 
     zero = jnp.zeros((1, p), jnp.float32)
@@ -263,49 +284,76 @@ def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, *,
     jax.lax.fori_loop(0, n_done, bbody, d_carry0)
 
 
-def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
+def _bwd_kernel(counts_ref, scalars_ref, entries_ref, carries_ref, cot_ref,
+                grad_ref, *, cfg: RasterizeConfig, tpg: int):
+    """cot_ref [tpg, NUM_CHANNELS, P] output cotangents (median's is
+    ignored); carries_ref [tpg, max_chunks, 4, P] per-chunk carry-ins
+    recorded by the forward kernel; grad_ref [tpg, K, 13] per-entry
+    gradients. No forward replay."""
+    for ts in range(tpg):
+        t = pl.program_id(0) * tpg + ts
+        _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref,
+                      carries_ref, cot_ref, grad_ref, cfg)
+
+
+def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig,
+             with_carries: bool):
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
+    max_chunks = cfg.tile_budget // cfg.pallas_chunk
+    tpg = _tiles_per_step(cfg)
+    out_specs = pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32)
+    if with_carries:
+        out_specs = (out_specs,
+                     pl.BlockSpec((tpg, max_chunks, 4, p),
+                                  lambda t, *_: (t, 0, 0, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((t_tiles, max_chunks, 4, p),
+                                          jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_tiles,),
-        in_specs=[pl.BlockSpec((1, cfg.tile_budget, PACK_COLS),
+        grid=(t_tiles // tpg,),
+        in_specs=[pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0))],
-        out_specs=pl.BlockSpec((1, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
+        out_specs=out_specs,
     )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32),
-    )(counts, scalars, entries)
+
+    if with_carries:
+        def kernel(counts_ref, scalars_ref, entries_ref, out_ref, carries_ref):
+            _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref,
+                        cfg=cfg, tpg=tpg, carries_ref=carries_ref)
+    else:
+        kernel = functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg)
+
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape)(
+        counts, scalars, entries)
 
 
-def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
+def _run_bwd(entries, counts, scalars, carries, cot, cfg: RasterizeConfig):
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
-    max_chunks = cfg.tile_budget // CHUNK
+    max_chunks = cfg.tile_budget // cfg.pallas_chunk
+    tpg = _tiles_per_step(cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_tiles,),
+        grid=(t_tiles // tpg,),
         in_specs=[
-            pl.BlockSpec((1, cfg.tile_budget, PACK_COLS), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpg, max_chunks, 4, p), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, cfg.tile_budget, PACK_COLS),
+        out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((max_chunks, 4, p), jnp.float32)],
     )
 
-    def kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref, scratch):
-        _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref, grad_ref,
-                    cfg=cfg, carry_scratch=scratch)
-
     return pl.pallas_call(
-        kernel,
+        functools.partial(_bwd_kernel, cfg=cfg, tpg=tpg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
                                        jnp.float32),
-    )(counts, scalars, entries, cot)
+    )(counts, scalars, entries, carries, cot)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -315,18 +363,26 @@ def blend_tiles_pallas(entries, counts, scalars, cfg: RasterizeConfig):
     [T, NUM_CHANNELS, P] (no bg blend, unnormalized depth).
     Differentiable w.r.t. `entries` via the Pallas backward kernel
     (median channel's gradient is defined as 0, like the CUDA reference
-    which never backprops the median)."""
-    return _run_fwd(entries, counts, scalars, cfg)
+    which never backprops the median). Under jax.grad, the forward kernel
+    additionally records per-chunk carries so the backward runs a single
+    reverse chunk loop with no forward replay."""
+    return _run_fwd(entries, counts, scalars, cfg, with_carries=False)
 
 
 def _vjp_fwd(entries, counts, scalars, cfg):
-    out = _run_fwd(entries, counts, scalars, cfg)
+    out = _run_fwd(entries, counts, scalars, cfg, with_carries=False)
     return out, (entries, counts, scalars)
 
 
 def _vjp_bwd(cfg, residuals, cot):
+    # Regenerate the per-chunk carries with one extra forward pass at
+    # backward time instead of keeping them as residuals: 48 renders/step
+    # would otherwise hold ~400 MB of carries alive across the whole train
+    # step (measured OOM at B=3), while the transient here is ~8 MB and the
+    # extra kernel costs the same as the in-kernel replay it replaces.
     entries, counts, scalars = residuals
-    d_entries = _run_bwd(entries, counts, scalars, cot, cfg)
+    _, carries = _run_fwd(entries, counts, scalars, cfg, with_carries=True)
+    d_entries = _run_bwd(entries, counts, scalars, carries, cot, cfg)
     return d_entries, None, None
 
 

@@ -68,13 +68,24 @@ def preprocess_surfels(
             axis=-1,
         )
 
+    # Opacity-aware cutoff: the blend drops entries with
+    # α = op·exp(-ρ/2) < alpha_min, so any pixel beyond
+    # σ·sqrt(2·ln(op/alpha_min)) can never contribute — shrinking the claimed
+    # footprint for translucent surfels is lossless w.r.t. the α-threshold
+    # rule and sharply cuts tile pressure from low-opacity "dust"
+    # (the CUDA reference uses a fixed 3σ; we take min(3σ, exact cutoff)).
+    op_clamped = jnp.clip(opacities, cfg.alpha_min, 0.99)
+    cut = jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(op_clamped / cfg.alpha_min), 0.0))
+    cut = jnp.minimum(cut, 3.0)
+
     ext = jnp.zeros_like(z)
     for axis, s in ((unit_u, s_u), (unit_v, s_v)):
-        off = 3.0 * s[:, None] * axis
+        off = (cut * s)[:, None] * axis
         for sgn in (1.0, -1.0):
             d = jnp.abs(_proj(center_cam + sgn * off) - center2d)
             ext = jnp.maximum(ext, jnp.maximum(d[:, 0], d[:, 1]))
-    filter_r = 3.0 / jnp.sqrt(cfg.filter2d_invsq)  # 3σ of the 2D low-pass
+    filter_r = cut / jnp.sqrt(cfg.filter2d_invsq)  # cutoff σ of the 2D low-pass
     radius = jnp.minimum(ext + filter_r, cfg.max_radius)
 
     # View-dependent color.

@@ -37,24 +37,29 @@ _GIDX_BITS = 19  # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
 
 
 @jax.custom_vjp
-def permute_rows(x: jnp.ndarray, perm: jnp.ndarray, inv_perm: jnp.ndarray):
-    """x[perm] with a gather-based transpose.
+def take_rows(x: jnp.ndarray, idx: jnp.ndarray, inv_pos: jnp.ndarray):
+    """x[idx] (idx = first V entries of a permutation of range(N)) with a
+    gather-based transpose.
 
-    XLA transposes a gather into a scatter-add (56ms at LaRa scale on TPU);
-    for a permutation the transpose is just a gather by the inverse
-    permutation (~5ms)."""
-    return x[perm]
-
-
-def _permute_fwd(x, perm, inv_perm):
-    return x[perm], inv_perm
+    XLA transposes a gather into a scatter-add (56 ms at LaRa scale on TPU);
+    because idx is a prefix of a permutation, the transpose is a gather by
+    the inverse position, masked to the kept prefix (~5 ms):
+    d_x[i] = d_out[inv_pos[i]] if inv_pos[i] < V else 0."""
+    return x[idx]
 
 
-def _permute_bwd(inv_perm, g):
-    return g[inv_perm], None, None
+def _take_fwd(x, idx, inv_pos):
+    return x[idx], (idx.shape[0], inv_pos)
 
 
-permute_rows.defvjp(_permute_fwd, _permute_bwd)
+def _take_bwd(res, g):
+    v, inv_pos = res
+    safe = jnp.minimum(inv_pos, v - 1)
+    d_x = jnp.where((inv_pos < v)[:, None], g[safe], 0.0)
+    return d_x, None, None
+
+
+take_rows.defvjp(_take_fwd, _take_bwd)
 
 
 PACK_COLS = 13
@@ -94,18 +99,22 @@ def unpack_surfels(m: jnp.ndarray, fx, fy, width: float, height: float) -> Proje
 
 
 def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
-    """Depth-sort surfels, build packed attributes and the per-tile entry
-    windows. Returns (packed [N,20], win_gidx [T,K] int32 indices into the
-    depth-sorted rows, entry_valid [T,K] bool)."""
+    """Depth-sort surfels, compact to the nearest `visible_budget` valid ones,
+    build packed attributes and the per-tile entry windows. Returns
+    (packed [V,13], win_gidx [T,K] int32 indices into the depth-sorted rows,
+    entry_valid [T,K] bool, counts [T])."""
     n = g.depth.shape[0]
-    assert n <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
+    v = min(cfg.visible_budget, n) if cfg.visible_budget else n
+    assert v <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
     assert cfg.num_tiles < (1 << 11)
     order = jnp.argsort(jnp.where(g.valid, g.depth, jnp.inf))
     inv_order = jnp.argsort(order)
-    packed = permute_rows(pack_surfels(g), order, inv_order)
-    c2d = g.center2d[order]
-    radius = g.radius[order]
-    valid = g.valid[order]
+    order_v = jax.lax.slice_in_dim(order, 0, v) if v < n else order
+    packed = take_rows(pack_surfels(g), order_v, inv_order)
+    c2d = g.center2d[order_v]
+    radius = g.radius[order_v]
+    valid = g.valid[order_v]
+    n = v
 
     tile = cfg.tile
     tx_lo = jnp.clip(jnp.floor((c2d[:, 0] - radius) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)

@@ -79,8 +79,12 @@ def render_view(
     }
     if rays is not None:
         # Pseudo surface normal from finite differences of unprojected depth,
-        # alpha-masked (lines 250-254; the alpha factor is detached there —
-        # callers that differentiate should stop_gradient the mask).
+        # alpha-masked. The alpha factor is detached exactly like the
+        # reference's `surf_normal * render_alpha.detach()`
+        # (renderer_2dgs.py:254): the normal-consistency loss must not gain
+        # a gradient path through the opacity accumulator.
+        import jax
+
         dn, _ = depth_to_normal(rays, surf_depth)
-        frame["depth_normal"] = dn * out.alpha[..., None]
+        frame["depth_normal"] = dn * jax.lax.stop_gradient(out.alpha)[..., None]
     return frame

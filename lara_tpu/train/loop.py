@@ -28,6 +28,37 @@ from lara_tpu.train.state import TrainState, make_optimizer
 from lara_tpu.train.step import make_eval_step, make_train_step
 
 
+class _WandbWriter:
+    """tensorboardX-shaped adapter over wandb (add_scalar/add_image), so the
+    loop logs through one interface regardless of cfg.logger.name."""
+
+    def __init__(self, cfg: Config, workdir: str):
+        import os
+
+        import wandb  # optional dependency
+
+        os.environ.setdefault("WANDB__SERVICE_WAIT", "600")  # train_lightning.py:54
+        self._run = wandb.init(project="LaRa", name=cfg.exp_name,
+                               dir=workdir, config=dataclasses_to_dict(cfg))
+        self._wandb = wandb
+
+    def add_scalar(self, tag, value, step):
+        self._run.log({tag: value}, step=int(step))
+
+    def add_image(self, tag, img_chw, step):
+        img = np.transpose(np.asarray(img_chw), (1, 2, 0))
+        self._run.log({tag: self._wandb.Image(img)}, step=int(step))
+
+
+def dataclasses_to_dict(obj):
+    import dataclasses
+
+    if dataclasses.is_dataclass(obj):
+        return {f.name: dataclasses_to_dict(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)}
+    return obj
+
+
 class Trainer:
     def __init__(self, cfg: Config, workdir: Optional[str] = None):
         self.cfg = cfg
@@ -37,6 +68,7 @@ class Trainer:
         self.net = LaRaNet(cfg)
         self._writer = None
         self._preempted = False
+        self._rv_rng = np.random.default_rng((cfg.train.seed, 17))
         self._install_preemption_handler()
 
     def _install_preemption_handler(self):
@@ -54,10 +86,19 @@ class Trainer:
 
     @property
     def writer(self):
+        """Scalar/image logger selected by cfg.logger.name — 'tensorboard'
+        (default) or 'wandb' (train_lightning.py:51-55, configs/base.yaml:
+        68-70). W&B degrades to tensorboard when the package is missing."""
         if self._writer is None:
-            from tensorboardX import SummaryWriter
+            if self.cfg.logger.name == "wandb":
+                try:
+                    self._writer = _WandbWriter(self.cfg, self.workdir)
+                except Exception as e:
+                    print(f"wandb unavailable ({e!r}); using tensorboard")
+            if self._writer is None:
+                from tensorboardX import SummaryWriter
 
-            self._writer = SummaryWriter(self.workdir)
+                self._writer = SummaryWriter(self.workdir)
         return self._writer
 
     def _num_opt_steps(self, loader: DataLoader) -> int:
@@ -135,8 +176,10 @@ class Trainer:
                                   step=restored["step"])
             start_epoch = restored["epoch"] + 1
 
-        step_coarse = make_train_step(self.net, self.mesh, with_fine=False)
-        step_fine = make_train_step(self.net, self.mesh, with_fine=True)
+        step_coarse = make_train_step(self.net, self.mesh, with_fine=False,
+                                      grad_accum=cfg.train.grad_accum)
+        step_fine = make_train_step(self.net, self.mesh, with_fine=True,
+                                    grad_accum=cfg.train.grad_accum)
         eval_coarse = make_eval_step(self.net, self.mesh, with_fine=False)
         eval_fine = make_eval_step(self.net, self.mesh, with_fine=True)
 
@@ -145,6 +188,7 @@ class Trainer:
         micro = int(state.step)
         t0 = time.time()
         last_stats: Dict = {}
+        stop = False
 
         from lara_tpu.parallel.mesh import device_prefetch
 
@@ -159,6 +203,15 @@ class Trainer:
                 batch = sb  # host copies only needed for vis panels
                 sb = dict(sb)
                 sb.pop("meta", None)
+                if t.use_rand_views:
+                    # random 2-4 input views per step (lightning/network.py:
+                    # 434-438), as a static-shape boolean mask over the
+                    # first n_views (see LaRaNet.__call__)
+                    n_sel = int(self._rv_rng.integers(
+                        2, min(4, self.cfg.n_views) + 1))
+                    vm = np.zeros((self.cfg.n_views,), np.bool_)
+                    vm[:n_sel] = True
+                    sb["view_mask"] = vm
                 state, stats = fn(state, sb)
                 micro += 1
                 if micro % (10 * t.grad_accum) == 0:
@@ -175,30 +228,35 @@ class Trainer:
                     self.state = state
                     return last_stats
                 if max_steps is not None and micro >= max_steps:
+                    stop = True
                     break
-            else:
-                # validation (lightning/system.py:38-52)
-                val_batches = max(1, int(len(val_loader) * t.limit_val_batches))
-                agg: Dict[str, list] = {}
-                for j, batch in enumerate(val_loader):
-                    if j >= val_batches:
-                        break
-                    sb = shard_batch(batch, self.mesh)
-                    sb.pop("meta", None)
-                    global_step = micro // t.grad_accum
-                    efn = eval_fine if global_step > t.start_fine else eval_coarse
-                    out, stats = efn(state.params, sb, global_step)
-                    if j == 0:
-                        self._log_panels(out, batch, global_step, "val")
-                    for k, v in stats.items():
-                        agg.setdefault(k, []).append(float(v))
-                for k, vs in agg.items():
-                    self.writer.add_scalar(f"val/{k}", float(np.mean(vs)), epoch)
 
-                if (epoch + 1) % t.ckpt_every_n_epoch == 0 or epoch == t.n_epoch - 1:
-                    ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
-                continue
-            break  # max_steps reached
+            if stop:
+                break  # max_steps reached — skip validation, exit the fit
+
+            # validation (lightning/system.py:38-52) — runs at the end of
+            # EVERY epoch, including when the epoch was truncated by
+            # limit_train_batches (the reference's Lightning loop does too;
+            # round-1 conflated the two inner breaks and never got here).
+            val_batches = max(1, int(len(val_loader) * t.limit_val_batches))
+            agg: Dict[str, list] = {}
+            for j, batch in enumerate(val_loader):
+                if j >= val_batches:
+                    break
+                sb = shard_batch(batch, self.mesh)
+                sb.pop("meta", None)
+                global_step = micro // t.grad_accum
+                efn = eval_fine if global_step > t.start_fine else eval_coarse
+                out, stats = efn(state.params, sb, global_step)
+                if j == 0:
+                    self._log_panels(out, batch, global_step, "val")
+                for k, v in stats.items():
+                    agg.setdefault(k, []).append(float(v))
+            for k, vs in agg.items():
+                self.writer.add_scalar(f"val/{k}", float(np.mean(vs)), epoch)
+
+            if (epoch + 1) % t.ckpt_every_n_epoch == 0 or epoch == t.n_epoch - 1:
+                ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
 
         self.state = state
         return last_stats

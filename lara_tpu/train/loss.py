@@ -57,8 +57,12 @@ def compute_losses(batch: Dict, output: Dict, step) -> Tuple[jnp.ndarray, Dict]:
         stats[f"mse{prex}"] = mse
         stats[f"psnr{prex}"] = -10.0 * jnp.log(mse) / jnp.log(jnp.asarray(10.0))
 
-        x = img.reshape(B * N, H, W, 3).transpose(0, 3, 1, 2)
-        y = tar.reshape(B * N, H, W, 3).transpose(0, 3, 1, 2)
+        # Views are tiled horizontally into one [B, 3, H, N·W] image before
+        # MS-SSIM, matching the reference exactly (lightning/loss.py:23,44 —
+        # Gaussian windows cross view seams there, so computing per-view
+        # would give slightly different values *and gradients*).
+        x = img.transpose(0, 4, 2, 1, 3).reshape(B, 3, H, N * W)
+        y = tar.transpose(0, 4, 2, 1, 3).reshape(B, 3, H, N * W)
         ssim_val = ms_ssim(x, y, weights=weights)
         stats[f"ssim{prex}"] = ssim_val
         loss = loss + 0.5 * (1.0 - ssim_val)

@@ -30,11 +30,15 @@ from lara_tpu.models import LaRaNet
 from lara_tpu.train.loss import compute_losses
 
 
-def make_train_step(net: LaRaNet, mesh: Mesh, with_fine: bool) -> Callable:
+def make_train_step(net: LaRaNet, mesh: Mesh, with_fine: bool,
+                    grad_accum: int = 1) -> Callable:
     def step_fn(state, batch) -> Tuple:
         def loss_fn(params):
             out = net.apply(params, batch, with_fine=with_fine, train=True)
-            loss, stats = compute_losses(batch, out, state.step)
+            # state.step counts micro-steps (one per apply_gradients under
+            # optax.MultiSteps); the reference's loss gates count *optimizer*
+            # steps (Lightning global_step, lightning/loss.py:49).
+            loss, stats = compute_losses(batch, out, state.step // grad_accum)
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -58,12 +62,15 @@ def make_eval_step(net: LaRaNet, mesh: Mesh, with_fine: bool = True) -> Callable
 
 
 def make_forward(net: LaRaNet, with_fine: bool = True,
-                 return_buffer: bool = False) -> Callable:
-    """Plain jitted inference forward (evaluation.py:61 equivalent)."""
+                 return_buffer: bool = False,
+                 render_scale: float = 1.0) -> Callable:
+    """Plain jitted inference forward (evaluation.py:61 equivalent);
+    `render_scale` maps to the reference's `render_img_scale`
+    (lightning/network.py:467)."""
 
     @functools.partial(jax.jit)
     def fwd(params, batch):
         return net.apply(params, batch, with_fine=with_fine, train=False,
-                         return_buffer=return_buffer)
+                         return_buffer=return_buffer, render_scale=render_scale)
 
     return fwd

@@ -2,8 +2,10 @@
 
 import numpy as np
 
-from lara_tpu.data.mvgen import (ZeroPlusRig, build_mvgen_batch,
-                                 generate_input_camera, slice_grid)
+from lara_tpu.data.mvgen import (RIGS, SV3D_FRAMES, ZERO123_SUBSET,
+                                 MultiViewGenerator, build_mvgen_batch,
+                                 generate_input_camera, rig_cameras,
+                                 slice_grid)
 from lara_tpu.eval.vis import vis_images, visualize_depth
 from lara_tpu.utils.camera import fov_to_ixt
 
@@ -32,13 +34,71 @@ def test_slice_grid():
     np.testing.assert_array_equal(tiles[5], img[4:, 2:])
 
 
+def test_rig_constants_match_reference():
+    """Rig literals from dataLoader/mvgen.py:219 (v1.1), :259 (v1.2),
+    :295 (sv3d): radius 2.7, the (pitch, 225+offset) pose tables, and the
+    fovs 50/30/33.8; view-selection constants from :203/:286."""
+    assert RIGS["zero123plus-v1.1"] == (
+        2.7, [(30, 255), (30, 375), (30, 495), (-20, 555)], 50.0)
+    assert RIGS["zero123plus-v1.2"] == (
+        2.7, [(20, 255), (20, 375), (20, 495), (-10, 555)], 30.0)
+    assert RIGS["sv3d"] == (2.7, [(20, 225), (20, 315), (20, 405), (20, 495)], 33.8)
+    assert ZERO123_SUBSET == [0, 2, 4, 5]
+    assert SV3D_FRAMES == [0, 4, 8, 12]
+
+    for name, (r, poses, fov) in RIGS.items():
+        c2ws, fxfycxcy = rig_cameras(name)
+        assert c2ws.shape == (4, 4, 4)
+        assert abs(fxfycxcy[0] - 0.5 / np.tan(np.deg2rad(fov / 2))) < 1e-6
+        for (pitch, yaw), c2w in zip(poses, c2ws):
+            p, y = np.deg2rad(pitch), np.deg2rad(yaw)
+            expect_eye = r * np.array(
+                [np.cos(p) * np.cos(y), np.cos(p) * np.sin(y), np.sin(p)])
+            np.testing.assert_allclose(c2w[:3, 3], expect_eye, atol=1e-5)
+            # looking at the origin, world-up -z convention
+            np.testing.assert_allclose(c2w[:3, 2], -expect_eye / r, atol=1e-5)
+            assert c2w[:3, 1] @ np.array([0, 0, -1.0]) > 0
+            np.testing.assert_allclose(c2w[:3, :3] @ c2w[:3, :3].T,
+                                       np.eye(3), atol=1e-5)
+
+
+def test_generator_backends_dispatch():
+    """All three backends produce 4 views + rig cameras through injected
+    pipelines; text→3D chains through a text_to_image backend."""
+    grid = np.random.default_rng(1).uniform(size=(96, 64, 3)).astype(np.float32)
+
+    for backend in ("zero123plus-v1.1", "zero123plus-v1.2"):
+        gen = MultiViewGenerator(backend, pipeline=lambda img: grid)
+        views, c2ws, fxfycxcy = gen.generate(
+            image=np.ones((32, 32, 3), np.float32), img_size=32)
+        assert views.shape == (4, 32, 32, 3)
+        np.testing.assert_allclose(c2ws, rig_cameras(backend)[0], atol=1e-6)
+
+    video = np.random.default_rng(2).uniform(size=(21, 48, 48, 3)).astype(np.float32)
+    gen = MultiViewGenerator("sv3d", pipeline=lambda img: video)
+    views, c2ws, _ = gen.generate(image=np.ones((32, 32, 3), np.float32),
+                                  img_size=32)
+    assert views.shape == (4, 32, 32, 3)
+    np.testing.assert_allclose(c2ws, rig_cameras("sv3d")[0], atol=1e-6)
+
+    # text→3D: prompt → (injected) text_to_image → image path
+    gen = MultiViewGenerator("zero123plus-v1.1", pipeline=lambda img: grid,
+                             text_to_image=lambda p: np.ones((32, 32, 3), np.float32))
+    views, _, _ = gen.generate(prompt="a chair", img_size=32)
+    assert views.shape == (4, 32, 32, 3)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        MultiViewGenerator("zero123plus-v1.1", pipeline=lambda img: grid
+                           ).generate(prompt="no backend")
+    with _pytest.raises(ValueError):
+        MultiViewGenerator("nope")
+
+
 def test_build_mvgen_batch_contract():
-    rig = ZeroPlusRig()
-    c2ws, fxfycxcy = rig.cameras()
-    c2ws = c2ws[rig.SUBSET]
+    c2ws, fxfycxcy = rig_cameras("zero123plus-v1.1")
     views = np.random.default_rng(0).uniform(size=(4, 64, 64, 3)).astype(np.float32)
-    ixt = fov_to_ixt(np.array([0.6, 0.6]), np.array([64, 64]))
-    batch = build_mvgen_batch(views, c2ws, np.tile(ixt[None], (4, 1, 1)))
+    batch = build_mvgen_batch(views, c2ws, fxfycxcy)
     assert batch["tar_rgb"].shape == (4, 64, 64, 3)
     assert batch["tar_rays"].shape == (4, 64, 64, 6)
     assert batch["tar_rays_down"].shape == (4, 4, 4, 6)
@@ -73,3 +133,56 @@ def test_visualize_depth_range():
     c = visualize_depth(d)
     assert c.shape == (8, 8, 3)
     assert c.min() >= 0 and c.max() <= 1
+
+
+def test_co3d_normalization_protocol():
+    """tools/prepare_co3d.py viewset-diffusion normalization: after the
+    numpy port of ref prepare_dataset_co3d.py:59-168, the cloud is centered,
+    fits the 0.95 cube, and camera↔world relations are preserved."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from prepare_co3d import normalize_sequence_np, p3d_to_c2w
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(500, 3)) * [1.0, 2.0, 0.5] + [4.0, -2.0, 1.0]
+
+    # cameras on a ring looking at the cloud center, pytorch3d convention
+    Rs, Ts = [], []
+    for ang in np.linspace(0, 2 * np.pi, 12, endpoint=False):
+        eye = np.array([4.0, -2.0, 1.0]) + 6.0 * np.array(
+            [np.cos(ang), np.sin(ang), 0.3])
+        z = (np.array([4.0, -2.0, 1.0]) - eye)
+        z /= np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_w2c = np.stack([x, y, z])          # rows: camera axes in world
+        # pytorch3d: x_cam = x_world @ R + T  ⇒  R = R_w2c.T
+        Rs.append(R_w2c.T)
+        Ts.append(-eye @ R_w2c.T)
+    R, T = np.stack(Rs), np.stack(Ts)
+
+    # record cam-space coords of a world point before normalization
+    probe = pts[0]
+    before = probe @ R[3] + T[3]
+
+    Rn, Tn, pn = normalize_sequence_np(pts, R, T)
+    assert np.abs(pn).max() <= 0.475 + 1e-5          # 0.95 cube of side 1
+    rngs = pn.max(0) - pn.min(0)
+    assert abs(pn.max(0)[1] - rngs[1] / 2) < 1e-5    # y-extent centered
+    # normalization is a similarity transform: cam-space geometry preserved
+    # up to the global scale
+    pn_probe = pn[0]
+    after = pn_probe @ Rn[3] + Tn[3]
+    scale = np.linalg.norm(after) / np.linalg.norm(before)
+    np.testing.assert_allclose(after, before * scale, atol=1e-4)
+
+    # c2w conversion: camera center = -T @ R^T, OpenCV z-forward
+    c2w = p3d_to_c2w(Rn[0], Tn[0])
+    np.testing.assert_allclose(c2w[:3, 3], -Tn[0] @ Rn[0].T, atol=1e-5)
+    np.testing.assert_allclose(c2w[:3, :3] @ c2w[:3, :3].T, np.eye(3), atol=1e-5)
+    # the OpenCV forward axis (+z) looks toward the cloud
+    fwd = c2w[:3, 2]
+    to_origin = -c2w[:3, 3] / np.linalg.norm(c2w[:3, 3])
+    assert fwd @ to_origin > 0.8

@@ -147,3 +147,56 @@ def test_loss_gate_before_1000(model_and_params):
     # distortion/normal terms only active after step 1000
     expected_gap = 1000.0 * float(stats["distortion"]) + 0.2 * float(stats["normal"])
     assert abs((float(l_late) - float(l_early)) - expected_gap) < 1e-4
+
+
+def test_rand_views_mask_one_compiled_fn():
+    """use_rand_views static-shape path (lightning/network.py:434-438): one
+    jitted forward serves n_views_sel ∈ {2,3,4} via the boolean view mask
+    (no retrace), and a masked view's image content cannot influence the
+    output (its tokens are excluded from every cross-attention)."""
+    cfg = tiny_config(n_views=4)
+    net = LaRaNet(cfg)
+    batch = synthetic_batch(B=1, n_views=4, H=64, W=64, seed=4)
+    params = net.init(jax.random.PRNGKey(2), batch, with_fine=True, train=False)
+
+    fwd = jax.jit(lambda p, b: net.apply(p, b, with_fine=True, train=True))
+
+    outs = {}
+    for n_sel in (2, 3, 4):
+        vm = np.zeros((4,), bool)
+        vm[:n_sel] = True
+        b = dict(batch)
+        b["view_mask"] = jnp.asarray(vm)
+        out = fwd(params, b)
+        assert np.all(np.isfinite(np.asarray(out["image"])))
+        outs[n_sel] = np.asarray(out["image"])
+    assert fwd._cache_size() == 1, "mask variants must not retrace"
+    assert not np.allclose(outs[2], outs[4])  # fewer views, different result
+
+    # corrupt the two masked-out input views: output must be unchanged
+    b2 = dict(batch)
+    vm = jnp.asarray([True, True, False, False])
+    b2["view_mask"] = vm
+    rgb = np.asarray(batch["tar_rgb"]).copy()
+    rgb[:, 2:4] = 0.123  # garbage in the deselected INPUT views only
+    b2["tar_rgb"] = jnp.asarray(rgb)
+    b1 = dict(batch)
+    b1["view_mask"] = vm
+    o1 = fwd(params, b1)
+    o2 = fwd(params, b2)
+    # the corrupted views are also supervision-rendered inputs to nothing:
+    # coarse/fine images depend on them only through masked-out attention
+    np.testing.assert_allclose(np.asarray(o2["image_fine"][:, 4:]),
+                               np.asarray(o1["image_fine"][:, 4:]), atol=1e-6)
+
+
+def test_render_scale_main_path(model_and_params):
+    """render_img_scale on the main forward (lightning/network.py:467,477):
+    outputs come back at the scaled, tile-snapped resolution."""
+    cfg, net, batch, params = model_and_params
+    out = net.apply(params, batch, with_fine=True, train=False,
+                    render_scale=0.5)
+    B, N = 2, 4
+    assert out["image"].shape == (B, N, 32, 32, 3)
+    assert out["image_fine"].shape == (B, N, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out["image"])))

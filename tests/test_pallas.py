@@ -99,3 +99,36 @@ def test_pallas_gradients_match_tiled(monkeypatch):
     for a, b, name in zip(g_til, g_pal, ["means", "shs", "op", "scales", "quats"]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("chunk,tpg", [(32, 1), (64, 2), (64, 4)])
+def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg):
+    """pallas_chunk / pallas_tiles_per_step must not change values or grads."""
+    pb, orig, patched = _pallas_interpret()
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+
+    cfg = make_cfg(tile_budget=64, dup=2, backend="pallas",
+                   pallas_chunk=chunk, pallas_tiles_per_step=tpg,
+                   visible_budget=256)
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(7), 150)
+    bg = jnp.array([0.3, 0.3, 0.3])
+
+    ref = rasterize_tiled(means, shs, op, scales, quats, cam, bg,
+                          make_cfg(tile_budget=64, dup=2, visible_budget=256))
+    pal = rasterize_pallas(means, shs, op, scales, quats, cam, bg, cfg)
+    np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pal.distortion),
+                               np.asarray(ref.distortion), atol=2e-4)
+
+    def loss(render_fn, rcfg, m):
+        out = render_fn(m, shs, op, scales, quats, cam, bg, rcfg)
+        return jnp.mean(out.image ** 2) + 0.1 * jnp.mean(out.distortion)
+
+    g_t = jax.grad(lambda m: loss(
+        rasterize_tiled, make_cfg(tile_budget=64, dup=2, visible_budget=256), m))(means)
+    g_p = jax.grad(lambda m: loss(rasterize_pallas, cfg, m))(means)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t),
+                               atol=5e-4, rtol=1e-3)

@@ -234,3 +234,44 @@ def test_api_dispatch():
     with pytest.raises(ValueError):
         rasterize(means, shs, op, scales, quats, cam, jnp.ones(3),
                   dataclasses.replace(cfg, backend="nope"))
+
+
+def test_visible_budget_noop_when_generous():
+    """visible_budget >= visible count must not change outputs or grads."""
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(21), 200)
+    bg = jnp.full((3,), 0.1)
+    cfg_all = make_cfg(tile_budget=256)
+    cfg_v = make_cfg(tile_budget=256, visible_budget=512)
+
+    out_a = rasterize_tiled(means, shs, op, scales, quats, cam, bg, cfg_all)
+    out_b = rasterize_tiled(means, shs, op, scales, quats, cam, bg, cfg_v)
+    np.testing.assert_allclose(np.asarray(out_b.image), np.asarray(out_a.image),
+                               atol=1e-6)
+
+    def loss(cfg, m):
+        o = rasterize_tiled(m, shs, op, scales, quats, cam, bg, cfg)
+        return jnp.mean(o.image ** 2) + jnp.mean(o.distortion)
+
+    g_a = jax.grad(lambda m: loss(cfg_all, m))(means)
+    g_b = jax.grad(lambda m: loss(cfg_v, m))(means)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a), atol=1e-6)
+
+
+def test_visible_budget_truncation_keeps_nearest():
+    """Overflow drops the farthest surfels: rendering with budget=1 equals
+    rendering the nearest surfel alone."""
+    cam = front_camera()
+    means = jnp.array([[0.0, 0.0, -0.2], [0.0, 0.0, 0.3]])  # near, far
+    shs = dc_shs([0.9, 0.2, 0.4], 2)
+    op = jnp.array([0.7, 0.9])
+    scales = jnp.full((2, 2), 0.05)
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+    bg = jnp.zeros(3)
+
+    cfg1 = make_cfg(visible_budget=1)
+    out = rasterize_tiled(means, shs, op, scales, quats, cam, bg, cfg1)
+    out_near = rasterize_tiled(means[:1], shs[:1], op[:1], scales[:1],
+                               quats[:1], cam, bg, make_cfg())
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(out_near.image),
+                               atol=1e-6)

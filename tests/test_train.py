@@ -79,6 +79,100 @@ def test_sharded_train_step_runs_and_improves():
     assert losses[-1] < losses[0]
 
 
+def test_loss_gate_counts_optimizer_steps():
+    """The >1000 loss gate counts optimizer steps (Lightning global_step,
+    lightning/loss.py:49), not micro-steps: with grad_accum=2, micro-step
+    2000 is optimizer step 1000 → gate still closed; 2002 → 1001 → open."""
+    from lara_tpu.config import TrainConfig
+
+    cfg = tiny_config()
+    net = LaRaNet(cfg)
+    batch = synthetic_batch(B=8, n_views=2, H=64, W=64)
+    mesh = make_mesh()
+    params = net.init(jax.random.PRNGKey(0), batch, with_fine=False, train=False)
+    tx, _ = make_optimizer(TrainConfig(grad_accum=2, warmup_iters=1), 4000)
+    step = make_train_step(net, mesh, with_fine=False, grad_accum=2)
+    sb = shard_batch(batch, mesh)
+
+    def fresh_state(at_step):
+        # the train step donates its input state, so build one per call
+        s = TrainState.create(apply_fn=net.apply,
+                              params=jax.tree.map(jnp.copy, params), tx=tx)
+        return s.replace(step=at_step)
+
+    _, s_closed = step(fresh_state(2000), dict(sb))
+    _, s_open = step(fresh_state(2002), dict(sb))
+    gap = 1000.0 * float(s_open["distortion"]) + 0.2 * float(s_open["normal"])
+    assert gap > 0.0
+    assert abs((float(s_open["loss"]) - float(s_closed["loss"])) - gap) < 1e-4
+
+
+def test_dp8_matches_dp1_loss_and_update():
+    """DDP equivalence (train_lightning.py:68-72 semantics): the same global
+    batch through a dp=8 mesh and a dp=1 mesh must give the same loss and the
+    same parameter update (grad all-reduce ≡ single-device mean)."""
+    from lara_tpu.config import TrainConfig
+
+    cfg = tiny_config()
+    net = LaRaNet(cfg)
+    batch = synthetic_batch(B=8, n_views=2, H=64, W=64, seed=3)
+    params = net.init(jax.random.PRNGKey(1), batch, with_fine=False, train=False)
+
+    results = {}
+    for n_dp in (8, 1):
+        mesh = make_mesh(n_dp=n_dp, devices=jax.devices()[:n_dp])
+        tx, _ = make_optimizer(TrainConfig(grad_accum=1, warmup_iters=2, lr=1e-3), 100)
+        state = TrainState.create(apply_fn=net.apply,
+                                  params=jax.tree.map(jnp.copy, params), tx=tx)
+        step = make_train_step(net, mesh, with_fine=False, grad_accum=1)
+        new_state, stats = step(state, shard_batch(batch, mesh))
+        results[n_dp] = (float(stats["loss"]), new_state.params)
+
+    loss8, p8 = results[8]
+    loss1, p1 = results[1]
+    # bf16 model compute + different reduction order (psum of per-device
+    # means vs one 8-batch mean) bounds the agreement at ~1e-4 relative
+    assert abs(loss8 - loss1) < 5e-4 * max(1.0, abs(loss1))
+    for l8, l1 in zip(jax.tree.leaves(p8), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fit_truncated_epoch_still_validates_and_checkpoints(tmp_path):
+    """Regression for the round-1 bug where the inner `i >= batches_per_epoch`
+    break fell through a for/else to the outer `break`, silently ending
+    training after ~20% of epoch 0 with no validation or checkpoint."""
+    import dataclasses as dc
+
+    from lara_tpu.config import LoggerConfig, TrainConfig
+    from lara_tpu.train import checkpoint as ckpt
+    from lara_tpu.train.loop import Trainer
+
+    ds = DatasetConfig(dataset_name="synthetic",
+                       data_root=str(tmp_path / "syn.h5"), split="train",
+                       img_size=(64, 64), n_group=2, n_scenes=64,
+                       batch_size=8, num_workers=0)
+    # val reuses the train split: the synthetic shard's test split (7 of 64
+    # scenes) is smaller than one dp=8 batch
+    cfg = dc.replace(
+        tiny_config(),
+        train_dataset=ds,
+        test_dataset=ds,
+        train=TrainConfig(n_epoch=2, limit_train_batches=0.15,
+                          limit_val_batches=0.05, grad_accum=1,
+                          start_fine=10 ** 9, ckpt_every_n_epoch=1,
+                          vis_every_n_steps=0, warmup_iters=2),
+        logger=LoggerConfig(dir=str(tmp_path / "logs")),
+    )
+    tr = Trainer(cfg)
+    tr.fit()
+    # 57 train scenes → 7 batches/epoch → limit 0.15 → 1 micro-step per
+    # epoch × 2 epochs; with the old bug training stopped inside epoch 0
+    # and never checkpointed.
+    assert int(tr.state.step) == 2
+    assert ckpt.latest_step(str(tmp_path / "logs" / "ckpts")) is not None
+
+
 def test_synthetic_dataset_schema(tmp_path):
     ds_cfg = DatasetConfig(dataset_name="synthetic",
                            data_root=str(tmp_path / "syn.h5"),

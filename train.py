@@ -20,15 +20,9 @@ for var in ("MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS", "OMP_NUM_THREADS",
 
 
 def parse_args(argv):
-    paths, overrides = [], []
-    for a in argv:
-        if a.endswith((".yaml", ".yml")):
-            paths.append(a)
-        elif "=" in a:
-            overrides.append(a)
-        else:
-            raise SystemExit(f"unrecognized argument: {a!r}")
-    return paths, overrides
+    from lara_tpu.config import parse_cli
+
+    return parse_cli(argv)
 
 
 def main(argv=None):
@@ -40,6 +34,12 @@ def main(argv=None):
     paths, overrides = parse_args(argv if argv is not None else sys.argv[1:])
     base = os.path.join(os.path.dirname(__file__), "configs", "base.yaml")
     cfg = load_config(base, *paths, overrides=overrides)
+
+    if cfg.train.detect_anomaly:
+        # NaN sanitizer (train_lightning.py:30 equivalent)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     trainer = Trainer(cfg)
     t0 = time.time()
