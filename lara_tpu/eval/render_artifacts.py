@@ -17,6 +17,7 @@ from lara_tpu.eval.tsdf import TSDFVolume, keep_largest_clusters, save_obj
 from lara_tpu.eval.video_path import uni_mesh_path, uni_video_path
 from lara_tpu.models.lara import make_cameras
 from lara_tpu.ops.rasterizer import RasterizeConfig
+from lara_tpu.ops.rasterizer.api import resolve_backend
 from lara_tpu.ops.renderer import render_view
 
 
@@ -29,7 +30,7 @@ def _render_frames(cams, gauss, cfg: Config, img_size: Tuple[int, int]):
     rcfg = RasterizeConfig(
         height=H, width=W, tile=cfg.render.tile, dup=cfg.render.dup,
         tile_budget=cfg.render.eval_tile_budget, tile_chunk=cfg.render.tile_chunk,
-        sh_degree=cfg.model.sh_degree, backend=cfg.render.backend)
+        sh_degree=cfg.model.sh_degree, backend=resolve_backend(cfg.render.backend))
     bg = jnp.ones(3)
 
     @jax.jit

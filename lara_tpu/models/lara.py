@@ -26,6 +26,7 @@ from lara_tpu.config import Config
 from lara_tpu.models.decoder import CoarseDecoder, FineDecoder
 from lara_tpu.models.vit import DinoViT
 from lara_tpu.models.volume import ModLN, VolTransformer
+from lara_tpu.ops.gather import take_rows, window_gather
 from lara_tpu.ops.grid_sample import grid_sample_2d
 from lara_tpu.ops.rasterizer import RasterizeConfig
 from lara_tpu.ops.renderer import render_view
@@ -93,10 +94,9 @@ class LaRaNet(nn.Module):
         self.scaling_shift = math.log(0.5 * self.voxel_size / 3.0)
 
     def _render_cfg(self, H: int, W: int, train: bool) -> RasterizeConfig:
+        from lara_tpu.ops.rasterizer.api import resolve_backend
         r = self.cfg.render
-        backend = r.backend
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+        backend = resolve_backend(r.backend)
         budget = r.tile_budget if train else r.eval_tile_budget
         return RasterizeConfig(
             height=H, width=W, tile=r.tile, dup=r.dup,
@@ -286,12 +286,19 @@ class LaRaNet(nn.Module):
             vals, idx = jax.lax.top_k(score_b, M)
             sel_ok = vals > 0.0
 
-            c_sel = jnp.take(centers_b, idx, axis=0)
-            sh_sel = jnp.take(sh_b, idx, axis=0)
-            op_sel = jnp.take(op_b, idx, axis=0)
-            sc_sel = jnp.take(sc_b, idx, axis=0)
-            rot_sel = jnp.take(rot_b, idx, axis=0)
-            vol_sel = jnp.take(vol_b, idx // m.K, axis=0)
+            # top_k indices are distinct, so the gathers transpose to gathers
+            # (take_rows); XLA's default transpose is a scatter-add per tensor
+            # per scene — measured the dominant non-render backward cost.
+            c_sel = take_rows(centers_b, idx)
+            sh_sel = take_rows(sh_b, idx)
+            op_sel = take_rows(op_b, idx)
+            sc_sel = take_rows(sc_b, idx)
+            rot_sel = take_rows(rot_b, idx)
+            # voxel features: up to K surfel rows share one voxel → bounded-
+            # duplicate gather (window_gather with max_dup=K)
+            vol_sel = window_gather(
+                vol_b, (idx // m.K)[None, :],
+                jnp.ones((1, M), bool), m.K)[0]
 
             def feats_for_view(img_v, rimg_v, racc_v, rdep_v, w2c, ixt):
                 cam = c_sel @ w2c[:3, :3].T + w2c[:3, 3]

@@ -8,6 +8,15 @@ from lara_tpu.utils.camera import Camera
 from lara_tpu.ops.rasterizer.types import RasterizeConfig, RenderOutput
 
 
+def resolve_backend(backend: str) -> str:
+    """Map the config's "auto" to a concrete backend: the Pallas kernels on
+    TPU, the XLA tiled formulation elsewhere (CPU/GPU/interpret)."""
+    if backend != "auto":
+        return backend
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+
 def rasterize(
     means3d: jnp.ndarray,    # [N, 3] world-space surfel centers
     shs: jnp.ndarray,        # [N, (deg+1)^2, 3] SH coefficients

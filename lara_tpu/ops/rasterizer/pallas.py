@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from lara_tpu.utils.camera import Camera
 from lara_tpu.ops.rasterizer.pallas_blend import blend_tiles_pallas
 from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
-from lara_tpu.ops.rasterizer.tiled import bin_surfels
+from lara_tpu.ops.rasterizer.tiled import bin_surfels, window_gather
 from lara_tpu.ops.rasterizer.types import RasterizeConfig, RenderOutput
 
 
@@ -25,8 +25,9 @@ def rasterize_pallas(
     assert cfg.tile_budget % cfg.pallas_chunk == 0, (
         "tile_budget must be a multiple of pallas_chunk")
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
-    packed, win_gidx, _, counts = bin_surfels(g, cfg)
-    entries = packed[win_gidx]                    # [T, K, 13]
+    packed, win_gidx, entry_valid, counts = bin_surfels(g, cfg)
+    entries = window_gather(packed, win_gidx, entry_valid,
+                            cfg.dup * cfg.dup)        # [T, K, 13]
 
     scalars = jnp.stack([
         jnp.asarray(camera.tanfovx, jnp.float32).reshape(()),

@@ -25,6 +25,8 @@ treated as fixed, exactly like the CUDA backward.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -36,31 +38,7 @@ from lara_tpu.ops.rasterizer.types import ProjectedSurfels, RasterizeConfig, Ren
 _GIDX_BITS = 19  # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
 
 
-@jax.custom_vjp
-def take_rows(x: jnp.ndarray, idx: jnp.ndarray, inv_pos: jnp.ndarray):
-    """x[idx] (idx = first V entries of a permutation of range(N)) with a
-    gather-based transpose.
-
-    XLA transposes a gather into a scatter-add (56 ms at LaRa scale on TPU);
-    because idx is a prefix of a permutation, the transpose is a gather by
-    the inverse position, masked to the kept prefix (~5 ms):
-    d_x[i] = d_out[inv_pos[i]] if inv_pos[i] < V else 0."""
-    return x[idx]
-
-
-def _take_fwd(x, idx, inv_pos):
-    return x[idx], (idx.shape[0], inv_pos)
-
-
-def _take_bwd(res, g):
-    v, inv_pos = res
-    safe = jnp.minimum(inv_pos, v - 1)
-    d_x = jnp.where((inv_pos < v)[:, None], g[safe], 0.0)
-    return d_x, None, None
-
-
-take_rows.defvjp(_take_fwd, _take_bwd)
-
+from lara_tpu.ops.gather import take_rows, window_gather  # noqa: F401 (re-export)
 
 PACK_COLS = 13
 
@@ -108,8 +86,10 @@ def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
     assert v <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
     assert cfg.num_tiles < (1 << 11)
     order = jnp.argsort(jnp.where(g.valid, g.depth, jnp.inf))
-    inv_order = jnp.argsort(order)
     order_v = jax.lax.slice_in_dim(order, 0, v) if v < n else order
+    from lara_tpu.ops import gather as _gather
+    inv_order = (jnp.argsort(order) if _gather.TAKE_ROWS_MODE == "inv"
+                 else None)
     packed = take_rows(pack_surfels(g), order_v, inv_order)
     c2d = g.center2d[order_v]
     radius = g.radius[order_v]
@@ -146,8 +126,17 @@ def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
 
     k_budget = cfg.tile_budget
     starts = jax.lax.optimization_barrier(starts)
-    win = jnp.clip(starts[:, None] + jnp.arange(k_budget, dtype=jnp.int32)[None, :], 0, m - 1)
-    win_keys = jax.lax.optimization_barrier(sorted_keys[win])    # [T, K]
+    # Window keys as T contiguous K-wide slices instead of a T·K element
+    # gather (one DMA descriptor per tile instead of per element — measured
+    # part of a ~3.3 ms stage). Padding with K sentinel keys keeps
+    # dynamic_slice from clamping a start below starts[t] when the sentinel
+    # tail is shorter than K (then entry k is exactly sorted position
+    # starts[t]+k; overhang rows are invalid-marked via counts).
+    padded = jnp.concatenate(
+        [sorted_keys, jnp.full((k_budget,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+    win_keys = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (k_budget,)))(starts)
+    win_keys = jax.lax.optimization_barrier(win_keys)            # [T, K]
     win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
     counts = jnp.minimum(counts, k_budget)
     entry_valid = jnp.arange(k_budget, dtype=jnp.int32)[None, :] < counts[:, None]
@@ -162,7 +151,9 @@ def rasterize_tiled(
     packed, win_gidx, entry_valid, _ = bin_surfels(g, cfg)
 
     # one bulk row gather: [T, K, 13]
-    entries = packed[jax.lax.optimization_barrier(win_gidx)]
+    entries = window_gather(
+        packed, jax.lax.optimization_barrier(win_gidx), entry_valid,
+        cfg.dup * cfg.dup)
 
     tile = cfg.tile
     pi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)

@@ -55,10 +55,31 @@ def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None
 
 def restore_params(directory: str, step: Optional[int] = None):
     """Weight-only restore for evaluation (structure read from the
-    checkpoint itself; arrays land on the default device)."""
+    checkpoint itself; arrays land on the default device).
+
+    Checkpoints written on one backend must restore on another (train on
+    TPU → evaluate on CPU): a bare restore replays the *saved* sharding
+    metadata and fails with "Device TPU v5 lite0 was not found", so on
+    that failure the tree is rebuilt from the checkpoint's own metadata
+    with every array re-targeted at the local default device."""
     mgr = _mgr(directory)
     step = step if step is not None else mgr.latest_step()
-    out = mgr.restore(step)
+    try:
+        out = mgr.restore(step)
+    except ValueError:
+        meta = mgr.item_metadata(step)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def absify(m):
+            shape = getattr(m, "shape", None)
+            dtype = getattr(m, "dtype", None)
+            if shape is None or dtype is None:
+                return m
+            return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=sharding)
+
+        abstract = jax.tree.map(absify, meta,
+                                is_leaf=lambda x: hasattr(x, "shape"))
+        out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     params = out["params"]
     return jax.tree.map(jax.numpy.asarray, params)

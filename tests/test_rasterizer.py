@@ -275,3 +275,39 @@ def test_visible_budget_truncation_keeps_nearest():
                                quats[:1], cam, bg, make_cfg())
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(out_near.image),
                                atol=1e-6)
+
+
+def test_window_gather_vjp_matches_xla_scatter():
+    """window_gather's sort-based backward must equal XLA's gather transpose
+    (scatter-add), including adversarial cases: empty tiles whose windows
+    overrun into neighbors, end-of-array clamping, and duplicate reads of
+    the same row — all invalid-marked, so their cotangents are zero."""
+    from lara_tpu.ops.rasterizer.tiled import window_gather
+
+    rng = np.random.default_rng(0)
+    v, t, k, f, max_dup = 37, 8, 6, 5, 4
+    packed = jnp.asarray(rng.normal(size=(v, f)).astype(np.float32))
+
+    # build windows the way bin_surfels does: sorted positions + overruns
+    counts = np.array([0, 3, 6, 0, 0, 2, 6, 1])  # several empty tiles
+    m2_rows = int(counts.sum())
+    row_gidx = rng.permutation(v)[:m2_rows].astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    win = np.clip(starts[:, None] + np.arange(k)[None, :], 0, m2_rows - 1)
+    win_gidx = jnp.asarray(row_gidx[win])
+    entry_valid = jnp.asarray(np.arange(k)[None, :] < np.minimum(counts, k)[:, None])
+
+    cot_full = rng.normal(size=(t, k, f)).astype(np.float32)
+    # invalid entries receive zero cotangent (the blend masks them out)
+    cot = jnp.asarray(cot_full) * entry_valid[..., None]
+
+    def via_custom(p):
+        return jnp.sum(window_gather(p, win_gidx, entry_valid, max_dup) * cot)
+
+    def via_xla(p):
+        return jnp.sum(p[win_gidx] * cot)
+
+    g_custom = jax.grad(via_custom)(packed)
+    g_xla = jax.grad(via_xla)(packed)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_xla),
+                               rtol=1e-6, atol=1e-6)
