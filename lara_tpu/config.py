@@ -108,6 +108,10 @@ class TrainConfig:
     # train_lightning.py:30): jax_debug_nans makes any NaN-producing op
     # raise with its location. Off by default — it forces sync dispatch.
     detect_anomaly: bool = False
+    # tensor-parallel width for the volume transformer's group axis
+    # (SURVEY.md §5.7); devices are arranged as (dp = n/tp, tp). 1 = pure
+    # data parallelism (the reference's DDP, train_lightning.py:68-72).
+    tp: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,14 +74,17 @@ class GroupAttBlock(nn.Module):
         """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens);
         cond_mask [B, G³, L_cond] bool (False tokens dropped from attention —
         the static-shape use_rand_views path)."""
+        from lara_tpu.parallel import tp
+
         block_size = self.block_size
         b, d, h, w, c = x.shape
         patches = group_volume(x, block_size)                 # [B, G, l, C]
         g = patches.shape[1]
-        flat = patches.reshape(b * g, -1, c)
-        cond_flat = cond.reshape(b * g, cond.shape[2], cond.shape[3]).astype(self.dtype)
+        flat = tp.shard_groups(patches.reshape(b * g, -1, c))
+        cond_flat = tp.shard_groups(
+            cond.reshape(b * g, cond.shape[2], cond.shape[3]).astype(self.dtype))
         mask_flat = (None if cond_mask is None
-                     else cond_mask.reshape(b * g, cond.shape[2]))
+                     else tp.shard_groups(cond_mask.reshape(b * g, cond.shape[2])))
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(flat)
         flat = flat + MultiHeadAttention(self.inner_dim, self.num_heads,
@@ -93,7 +96,10 @@ class GroupAttBlock(nn.Module):
                           dtype=self.dtype, name="mlp")(y)
         flat = nn.LayerNorm(dtype=self.dtype, name="norm3")(flat)
 
-        vol = ungroup_volume(flat.reshape(b, g, -1, c), block_size, d)
+        # cross-group conv needs the full volume per scene: re-shard to dp
+        # (all-gather over tp), conv, and the next layer re-splits groups
+        vol = tp.shard_batch_dim(
+            ungroup_volume(flat.reshape(b, g, -1, c), block_size, d))
         vol = vol + nn.Conv(self.inner_dim, (3, 3, 3), use_bias=False,
                             dtype=self.dtype, name="cnn")(vol)
         return vol

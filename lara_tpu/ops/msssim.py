@@ -25,20 +25,30 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+def _band(n: int, win: jnp.ndarray) -> jnp.ndarray:
+    """[n, n-k+1] banded matrix B with B[i, j] = win[i-j] (valid conv as a
+    matmul). Constant-folded at compile time."""
+    k = win.shape[0]
+    out = n - k + 1
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(out)[None, :]
+    d = i - j
+    return jnp.where((d >= 0) & (d < k), win[jnp.clip(d, 0, k - 1)], 0.0)
+
+
 def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """Separable valid-padding Gaussian filter over the trailing two axes.
-    x: [N, C, H, W]."""
-    k = win.shape[0]
-    n, c, h, w = x.shape
-    kern_h = win.reshape(1, 1, k, 1)
-    kern_w = win.reshape(1, 1, 1, k)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, k, 1), ("NCHW", "OIHW", "NCHW"))
-    x = x.reshape(n * c, 1, h, w)
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn,
-                                     precision=jax.lax.Precision.HIGHEST)
-    return x.reshape(n, c, x.shape[-2], x.shape[-1])
+    x: [N, C, H, W].
+
+    Expressed as two banded matmuls instead of 1-channel convolutions: a
+    conv with C_in = C_out = 1 cannot feed the MXU and measured 615 ms per
+    MS-SSIM head at the training shape [3, 3, 512, 4096]; the (flop-wasteful
+    but dense) banded matmuls run on the systolic array instead."""
+    h, w = x.shape[-2], x.shape[-1]
+    bh = _band(h, win)
+    bw = _band(w, win)
+    x = jnp.einsum("nchw,hi->nciw", x, bh, precision=jax.lax.Precision.HIGH)
+    return jnp.einsum("nciw,wj->ncij", x, bw, precision=jax.lax.Precision.HIGH)
 
 
 def _ssim_components(x, y, win, data_range=1.0, k1=0.01, k2=0.03):

@@ -9,11 +9,11 @@ the per-tile `while_loop` is a genuine early exit. Several tiles are
 processed per grid step (`cfg.pallas_tiles_per_step`) to amortize the
 per-step DMA/pipeline overhead.
 
-Under jax.grad, the forward kernel records each processed chunk's carry-in
-as an extra output; the backward kernel then runs a single reverse chunk
-loop computing per-entry gradients with `jax.vjp` of the shared per-chunk
-function — no forward replay, and forward/backward math can never drift
-apart. The early-exit bound applies to the backward as well.
+Under jax.grad, the backward kernel replays each tile's forward chunk walk
+in-kernel (carry-ins stashed in VMEM scratch — ~8 KB, never leaving the
+chip), then runs the reverse chunk loop computing per-entry gradients with
+`jax.vjp` of the shared per-chunk function — forward/backward math can
+never drift apart. The early-exit bound applies to the backward as well.
 
 Layout: pixels on the lane axis (P = tile² = 256 = 2×128 lanes), chunk
 entries on the sublane axis; the exclusive log-transmittance cumsum is a
@@ -181,29 +181,16 @@ def _init_carry(p):
 
 
 def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
-                  carries_ref, cfg: RasterizeConfig):
-    """Blend tile `t` (block-local index `ts`). When `carries_ref` is given,
-    each processed chunk's carry-IN is recorded so the backward kernel can
-    skip the forward replay; unprocessed chunk slots keep t_run=0, which
-    doubles as the processed-chunk marker (a real carry-in always has
-    max(t_run) >= transmittance_min)."""
+                  cfg: RasterizeConfig):
+    """Blend tile `t` (block-local index `ts`)."""
     p = cfg.tile * cfg.tile
     chunk = cfg.pallas_chunk
     n = jnp.minimum(counts_ref[t], cfg.tile_budget)
     tc = _tile_consts(t, scalars_ref, cfg)
     zero = jnp.zeros((1, p), jnp.float32)
 
-    if carries_ref is not None:
-        carries_ref[ts, :, :, :] = jnp.zeros(
-            (cfg.tile_budget // chunk, 4, p), jnp.float32)
-
     def body(state):
         ci, carry, acc, med = state
-        if carries_ref is not None:
-            carries_ref[ts, ci, 0, :] = carry[0][0]
-            carries_ref[ts, ci, 1, :] = carry[1][0]
-            carries_ref[ts, ci, 2, :] = carry[2][0]
-            carries_ref[ts, ci, 3, :] = carry[3][0]
         k0 = ci * chunk
         rows = entries_ref[ts, pl.ds(k0, chunk), :]
         new_carry, partials, (t_excl, w, depth) = _chunk_fn(rows, carry, k0, n, tc, cfg)
@@ -236,31 +223,44 @@ def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
 
 
 def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
-                cfg: RasterizeConfig, tpg: int, carries_ref=None):
+                cfg: RasterizeConfig, tpg: int):
     for ts in range(tpg):
         t = pl.program_id(0) * tpg + ts
         _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
-                      carries_ref, cfg)
+                      cfg)
 
 
-def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carries_ref,
+def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
                   cot_ref, grad_ref, cfg: RasterizeConfig):
     p = cfg.tile * cfg.tile
     chunk = cfg.pallas_chunk
     k_budget = cfg.tile_budget
-    max_chunks = k_budget // chunk
     n = jnp.minimum(counts_ref[t], k_budget)
     tc = _tile_consts(t, scalars_ref, cfg)
 
     grad_ref[ts, :, :] = jnp.zeros((k_budget, PACK_COLS), jnp.float32)
 
-    # chunk ci was processed by the forward iff its recorded carry-in has a
-    # live transmittance somewhere (chunk 0's carry-in is all-ones; processed
-    # chunks form a prefix, so a masked count recovers n_done)
-    t_runs = carries_ref[ts, :, 0, :]                       # [max_chunks, P]
-    live = jnp.max(t_runs, axis=1, keepdims=True) >= cfg.transmittance_min
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (max_chunks, 1), 0)
-    n_done = jnp.sum(jnp.where(live & (kidx * chunk < n), 1, 0))
+    # Replay the forward chunk walk IN-KERNEL, stashing each chunk's
+    # carry-in in VMEM scratch (max_chunks·4·P f32 ≈ 8 KB at chunk 64) —
+    # cheaper than a second pallas_call materializing all carries in HBM
+    # (extra kernel launch + entries re-read + 2× carries traffic). The
+    # while_loop's exit index doubles as the processed-chunk count.
+    def fbody(state):
+        ci, carry = state
+        carry_scr[ci, 0, :] = carry[0][0]
+        carry_scr[ci, 1, :] = carry[1][0]
+        carry_scr[ci, 2, :] = carry[2][0]
+        carry_scr[ci, 3, :] = carry[3][0]
+        rows = entries_ref[ts, pl.ds(ci * chunk, chunk), :]
+        new_carry, _, _ = _chunk_fn(rows, carry, ci * chunk, n, tc, cfg)
+        return ci + 1, new_carry
+
+    def fcond(state):
+        ci, carry = state
+        return jnp.logical_and(ci * chunk < n,
+                               jnp.max(carry[0]) >= cfg.transmittance_min)
+
+    n_done, _ = jax.lax.while_loop(fcond, fbody, (jnp.int32(0), _init_carry(p)))
 
     cot = tuple(cot_ref[ts, c, :][None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
 
@@ -268,7 +268,7 @@ def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carries_ref,
         ci = n_done - 1 - ci_rev
         k0 = ci * chunk
         rows = entries_ref[ts, pl.ds(k0, chunk), :]
-        carry = tuple(carries_ref[ts, ci, j, :][None, :] for j in range(4))
+        carry = tuple(carry_scr[ci, j, :][None, :] for j in range(4))
 
         def f(r, c):
             new_carry, partials, _ = _chunk_fn(r, c, k0, n, tc, cfg)
@@ -284,54 +284,36 @@ def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carries_ref,
     jax.lax.fori_loop(0, n_done, bbody, d_carry0)
 
 
-def _bwd_kernel(counts_ref, scalars_ref, entries_ref, carries_ref, cot_ref,
-                grad_ref, *, cfg: RasterizeConfig, tpg: int):
+def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref,
+                grad_ref, carry_scr, *, cfg: RasterizeConfig, tpg: int):
     """cot_ref [tpg, NUM_CHANNELS, P] output cotangents (median's is
-    ignored); carries_ref [tpg, max_chunks, 4, P] per-chunk carry-ins
-    recorded by the forward kernel; grad_ref [tpg, K, 13] per-entry
-    gradients. No forward replay."""
+    ignored); carry_scr VMEM scratch [max_chunks, 4, P] reused per tile;
+    grad_ref [tpg, K, 13] per-entry gradients."""
     for ts in range(tpg):
         t = pl.program_id(0) * tpg + ts
         _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref,
-                      carries_ref, cot_ref, grad_ref, cfg)
+                      carry_scr, cot_ref, grad_ref, cfg)
 
 
-def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig,
-             with_carries: bool):
+def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
-    max_chunks = cfg.tile_budget // cfg.pallas_chunk
     tpg = _tiles_per_step(cfg)
-    out_specs = pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32)
-    if with_carries:
-        out_specs = (out_specs,
-                     pl.BlockSpec((tpg, max_chunks, 4, p),
-                                  lambda t, *_: (t, 0, 0, 0)))
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((t_tiles, max_chunks, 4, p),
-                                          jnp.float32))
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles // tpg,),
         in_specs=[pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0))],
-        out_specs=out_specs,
+        out_specs=pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
     )
-
-    if with_carries:
-        def kernel(counts_ref, scalars_ref, entries_ref, out_ref, carries_ref):
-            _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref,
-                        cfg=cfg, tpg=tpg, carries_ref=carries_ref)
-    else:
-        kernel = functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg)
-
-    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape)(
-        counts, scalars, entries)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32),
+    )(counts, scalars, entries)
 
 
-def _run_bwd(entries, counts, scalars, carries, cot, cfg: RasterizeConfig):
+def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
     max_chunks = cfg.tile_budget // cfg.pallas_chunk
@@ -341,11 +323,11 @@ def _run_bwd(entries, counts, scalars, carries, cot, cfg: RasterizeConfig):
         grid=(t_tiles // tpg,),
         in_specs=[
             pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((tpg, max_chunks, 4, p), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((max_chunks, 4, p), jnp.float32)],
     )
 
     return pl.pallas_call(
@@ -353,7 +335,7 @@ def _run_bwd(entries, counts, scalars, carries, cot, cfg: RasterizeConfig):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
                                        jnp.float32),
-    )(counts, scalars, entries, carries, cot)
+    )(counts, scalars, entries, cot)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -363,26 +345,23 @@ def blend_tiles_pallas(entries, counts, scalars, cfg: RasterizeConfig):
     [T, NUM_CHANNELS, P] (no bg blend, unnormalized depth).
     Differentiable w.r.t. `entries` via the Pallas backward kernel
     (median channel's gradient is defined as 0, like the CUDA reference
-    which never backprops the median). Under jax.grad, the forward kernel
-    additionally records per-chunk carries so the backward runs a single
-    reverse chunk loop with no forward replay."""
-    return _run_fwd(entries, counts, scalars, cfg, with_carries=False)
+    which never backprops the median)."""
+    return _run_fwd(entries, counts, scalars, cfg)
 
 
 def _vjp_fwd(entries, counts, scalars, cfg):
-    out = _run_fwd(entries, counts, scalars, cfg, with_carries=False)
+    out = _run_fwd(entries, counts, scalars, cfg)
     return out, (entries, counts, scalars)
 
 
 def _vjp_bwd(cfg, residuals, cot):
-    # Regenerate the per-chunk carries with one extra forward pass at
-    # backward time instead of keeping them as residuals: 48 renders/step
-    # would otherwise hold ~400 MB of carries alive across the whole train
-    # step (measured OOM at B=3), while the transient here is ~8 MB and the
-    # extra kernel costs the same as the in-kernel replay it replaces.
+    # The backward kernel replays each tile's forward chunk walk in-kernel
+    # (VMEM scratch carries) instead of keeping carries as residuals: 48
+    # renders/step would otherwise hold ~400 MB of carries alive across the
+    # whole train step (measured OOM at B=3); the replay costs one extra
+    # cheap fwd walk per tile, bounded by the same early exit.
     entries, counts, scalars = residuals
-    _, carries = _run_fwd(entries, counts, scalars, cfg, with_carries=True)
-    d_entries = _run_bwd(entries, counts, scalars, carries, cot, cfg)
+    d_entries = _run_bwd(entries, counts, scalars, cot, cfg)
     return d_entries, None, None
 
 

@@ -1,0 +1,56 @@
+"""Tensor parallelism over the volume transformer's group axis.
+
+The group-local attention (SURVEY.md §5.7; reference GroupAttBlock,
+lightning/network.py:57-102) is embarrassingly parallel over the G = g³
+voxel groups: each group cross-attends only to its own image tokens. TP
+therefore shards the flattened [B·G, ...] token blocks over a `tp` mesh
+axis with `with_sharding_constraint`; the only cross-group op, the 3×3×3
+conv, runs on the dp-sharded full volume (XLA inserts the all-gather /
+re-shard collectives around it automatically).
+
+Constraints are ONLY emitted when TP is enabled for a mesh with tp > 1:
+on the single-chip axon backend a no-op constraint costs 100x+ per step
+(measured — see .claude/skills/verify/SKILL.md), so the default path must
+stay constraint-free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_TP_MESH: Optional[Mesh] = None
+
+
+def enable(mesh: Optional[Mesh]) -> None:
+    """Activate TP constraints for `mesh` (no-op unless its `tp` axis > 1).
+    Call before tracing the train/eval step; pass None to disable."""
+    global _TP_MESH
+    if mesh is not None and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        _TP_MESH = mesh
+    else:
+        _TP_MESH = None
+
+
+def enabled() -> bool:
+    return _TP_MESH is not None
+
+
+def shard_groups(x):
+    """Constrain a [B·G, ...] group-token block: rows split over (dp, tp) —
+    dp keeps whole scenes, tp splits each scene's groups."""
+    if _TP_MESH is None:
+        return x
+    spec = P(("dp", "tp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_TP_MESH, spec))
+
+
+def shard_batch_dim(x):
+    """Constrain a [B, ...] per-scene tensor to dp only (replicated over tp)
+    — the layout the cross-group conv and the rasterizer consume."""
+    if _TP_MESH is None:
+        return x
+    spec = P("dp", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_TP_MESH, spec))

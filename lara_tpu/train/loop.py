@@ -64,7 +64,11 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir or cfg.logger.dir
         os.makedirs(self.workdir, exist_ok=True)
-        self.mesh = make_mesh()
+        from lara_tpu.parallel import tp
+        from lara_tpu.parallel.distributed import maybe_initialize_distributed
+        maybe_initialize_distributed()
+        self.mesh = make_mesh(n_tp=cfg.train.tp)
+        tp.enable(self.mesh)
         self.net = LaRaNet(cfg)
         self._writer = None
         self._preempted = False
