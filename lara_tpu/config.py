@@ -45,8 +45,11 @@ class ModelConfig:
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by
-    # opacity. 1/8 of 64³·K=2.
-    fine_budget: int = 65536
+    # opacity. Sized by measurement (tools/validate_fine_budget.py): the
+    # trained-statistics workload has 111k surfels above the reference's
+    # 0.005 opacity threshold, and top-131072 reproduces the reference's
+    # dynamic mask bit-exactly (PSNR inf) vs 32.8 dB at 65536.
+    fine_budget: int = 131072
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,9 +63,11 @@ class RenderConfig:
     tile_chunk: int = 32
     eval_tile_budget: int = 512
     # nearest-surfel compaction budget before dup-expansion (see
-    # RasterizeConfig.visible_budget); ~1.2x the visible census of a trained
-    # 512² LaRa scene. 0 = keep all 524k candidates.
-    visible_budget: int = 163840
+    # RasterizeConfig.visible_budget); ~1.2x the 111k visible census of a
+    # trained 512² LaRa scene (tools/validate_fine_budget.py). Measured
+    # worst-case 73.7 dB vs unlimited on trained-scene statistics, and
+    # −2.1 ms/render vs the previous 163840. 0 = keep all 524k candidates.
+    visible_budget: int = 131072
     eval_visible_budget: int = 262144
     # pallas blend kernel: entries per inner step (measured optimum 64 at
     # tile_budget 128) and tiles per grid step

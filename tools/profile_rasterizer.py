@@ -32,6 +32,7 @@ def slope_time(fn, args, r1, r2, fetch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dup", type=int, default=3)
+    ap.add_argument("--tile", type=int, default=0, help="tile edge px (0=config default)")
     ap.add_argument("--tile-budget", type=int, default=128)
     ap.add_argument("--visible-budget", type=int, default=163840)
     ap.add_argument("--chunk", type=int, default=0, help="pallas_chunk (0=config default)")
@@ -69,7 +70,7 @@ def main():
     H = W = 512
     r = RenderConfig()
     cfg = RasterizeConfig(
-        height=H, width=W, tile=r.tile, dup=args.dup,
+        height=H, width=W, tile=args.tile or r.tile, dup=args.dup,
         tile_budget=args.tile_budget, tile_chunk=r.tile_chunk, sh_degree=1,
         visible_budget=args.visible_budget,
         pallas_chunk=min(args.chunk or r.pallas_chunk, args.tile_budget),
