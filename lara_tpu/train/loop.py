@@ -239,9 +239,16 @@ class Trainer:
                 break  # max_steps reached — skip validation, exit the fit
 
             # validation (lightning/system.py:38-52) — runs at the end of
-            # EVERY epoch, including when the epoch was truncated by
-            # limit_train_batches (the reference's Lightning loop does too;
-            # round-1 conflated the two inner breaks and never got here).
+            # every check_val_every_n_epoch-th epoch (Lightning Trainer
+            # semantics; default 1 = every epoch), including when the epoch
+            # was truncated by limit_train_batches (the reference's
+            # Lightning loop does too; round-1 conflated the two inner
+            # breaks and never got here).
+            if ((epoch + 1) % max(1, t.check_val_every_n_epoch) != 0
+                    and epoch != t.n_epoch - 1):
+                if (epoch + 1) % t.ckpt_every_n_epoch == 0:
+                    ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
+                continue
             val_batches = max(1, int(len(val_loader) * t.limit_val_batches))
             agg: Dict[str, list] = {}
             for j, batch in enumerate(val_loader):

@@ -223,3 +223,39 @@ def test_device_prefetch_order_and_sharding():
         assert float(sb["x"][0, 0]) == i
         # leading axis sharded over the dp mesh axis
         assert len(sb["x"].sharding.device_set) == 8
+
+
+def test_distributed_init_guard():
+    """maybe_initialize_distributed must be a no-op on a single host: no
+    explicit coordinator / worker-count>1 env, or a JAX backend already
+    live (then initialize() would hard-fail — the reference counterpart is
+    Lightning bringing up DDP before any CUDA use, train_lightning.py:68)."""
+    import os
+    from unittest import mock
+
+    import jax
+
+    from lara_tpu.parallel.distributed import maybe_initialize_distributed
+
+    # single-host: nothing multi-process in the env
+    clean = {k: v for k, v in os.environ.items()
+             if k not in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                          "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES",
+                          "MEGASCALE_COORDINATOR_ADDRESS")}
+    with mock.patch.dict(os.environ, clean, clear=True):
+        assert maybe_initialize_distributed() is False
+
+    # single-entry hostname list is still single-host
+    with mock.patch.dict(os.environ, {**clean, "TPU_WORKER_HOSTNAMES": "vm0"},
+                         clear=True):
+        assert maybe_initialize_distributed() is False
+
+    # multi-process env but a backend is already initialized (true in this
+    # test process) -> refuse rather than crash
+    jax.devices()
+    with mock.patch.dict(
+            os.environ,
+            {**clean, "JAX_COORDINATOR_ADDRESS": "127.0.0.1:1234",
+             "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": "0"},
+            clear=True):
+        assert maybe_initialize_distributed() is False
