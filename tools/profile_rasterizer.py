@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--dup", type=int, default=3)
     ap.add_argument("--tile", type=int, default=0, help="tile edge px (0=config default)")
     ap.add_argument("--tile-budget", type=int, default=128)
-    ap.add_argument("--visible-budget", type=int, default=163840)
+    ap.add_argument("--visible-budget", type=int, default=131072)
     ap.add_argument("--chunk", type=int, default=0, help="pallas_chunk (0=config default)")
     ap.add_argument("--tpg", type=int, default=0, help="pallas_tiles_per_step")
     ap.add_argument("--reps", type=int, default=(10, 30), nargs=2)

@@ -101,8 +101,14 @@ def main():
          lambda o: float(o["loss"])),
     ]
     for name, fn, a, fetch in rows:
-        t = slope_time(fn, a, 2, 6, fetch)
-        print(f"{name:30s} {t:8.3f} s")
+        # fine_budget 131072 makes some decomposition blocks exceed HBM when
+        # their buffers coexist with earlier rows' live executables — skip
+        # and continue rather than aborting the remaining rows
+        try:
+            t = slope_time(fn, a, 2, 6, fetch)
+            print(f"{name:30s} {t:8.3f} s")
+        except Exception as e:
+            print(f"{name:30s} skipped ({type(e).__name__})")
 
 
 if __name__ == "__main__":
