@@ -34,8 +34,11 @@ A100_BASELINE_FPS = 250.0
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
-def _slope_time(fn, args, r1, r2, fetch):
-    """Seconds per call via two-rep-count slope; `fetch(out)` must force."""
+def _slope_time(fn, args, r1, r2, fetch, trials=3):
+    """Seconds per call via two-rep-count slope; `fetch(out)` must force.
+
+    Best of `trials` slopes: the remote-tunnel backend shows ±3-20 %
+    run-to-run jitter, and the minimum is the least-contended estimate."""
     out = fn(*args)
     fetch(out)  # warmup/compile
 
@@ -47,8 +50,12 @@ def _slope_time(fn, args, r1, r2, fetch):
         fetch(o)
         return time.perf_counter() - t0
 
-    a, b = run(r1), run(r2)
-    return max((b - a) / (r2 - r1), 1e-9)
+    best = None
+    for _ in range(trials):
+        a, b = run(r1), run(r2)
+        t = max((b - a) / (r2 - r1), 1e-9)
+        best = t if best is None else min(best, t)
+    return best
 
 
 def lara_workload(n=64 ** 3 * 2, seed=0):
