@@ -52,8 +52,8 @@ def main(argv=None):
         params = ckpt.restore_params(cfg.infer.ckpt_path)
         print(f"restored params from {cfg.infer.ckpt_path}")
 
-    lpips_vgg_fn = _try_load_lpips("vgg")
-    lpips_alex_fn = _try_load_lpips("alex")
+    lpips_vgg_fn = _try_load_lpips("vgg", required=cfg.infer.require_lpips)
+    lpips_alex_fn = _try_load_lpips("alex", required=cfg.infer.require_lpips)
     fwd = jax.jit(lambda p, b: net.apply(
         p, b, with_fine=True, train=False,
         return_buffer=cfg.infer.video_frames > 0 or cfg.infer.save_mesh,
@@ -111,7 +111,8 @@ def main(argv=None):
             if cfg.infer.video_frames > 0:
                 render_video(
                     os.path.join(cfg.infer.save_folder, f"{name}_video.mp4"),
-                    gauss, cfg, tm, n_frames=cfg.infer.video_frames)
+                    gauss, cfg, tm, n_frames=cfg.infer.video_frames,
+                    sample=batch)
             if cfg.infer.save_mesh:
                 extract_mesh(os.path.join(cfg.infer.save_folder, f"{name}.obj"),
                              gauss, cfg, tm)
@@ -140,13 +141,25 @@ def main(argv=None):
     return metrics
 
 
-def _try_load_lpips(net: str = "vgg"):
-    """LPIPS needs pretrained VGG/Alex weights; return None if unavailable
-    offline (the architecture lives in lara_tpu/eval/lpips.py)."""
+def _try_load_lpips(net: str = "vgg", required: bool = False):
+    """LPIPS needs pretrained VGG/Alex weights. When they're missing or
+    corrupt, warn LOUDLY and skip the metric — or hard-fail with
+    infer.require_lpips=True (the reference always hard-fails,
+    evaluation.py:48-49)."""
+    from lara_tpu.eval.lpips import load_lpips
     try:
-        from lara_tpu.eval.lpips import load_lpips
         return load_lpips(net=net)
-    except Exception:
+    except Exception as e:
+        if required:
+            raise RuntimeError(
+                f"LPIPS-{net} weights unavailable and infer.require_lpips=True: "
+                f"{e!r}. Convert them with tools/convert_lpips.py.") from e
+        import warnings
+        warnings.warn(
+            f"LPIPS-{net} weights unavailable ({e!r}) — the lpips_{net} "
+            "metric will be MISSING from the report. Convert weights with "
+            "tools/convert_lpips.py or set infer.require_lpips=True to fail "
+            "instead.", RuntimeWarning, stacklevel=2)
         return None
 
 

@@ -137,6 +137,9 @@ class InferConfig:
     mesh_video: bool = False
     metric_path: str = "outputs/metrics"
     render_img_scale: float = 1.0
+    # Hard-fail when LPIPS weights are missing/corrupt instead of skipping
+    # the metric (the reference always hard-fails, evaluation.py:48-49).
+    require_lpips: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

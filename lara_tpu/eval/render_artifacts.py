@@ -47,10 +47,22 @@ def _render_frames(cams, gauss, cfg: Config, img_size: Tuple[int, int]):
 
 
 def render_video(path: str, gauss, cfg: Config, transform_mats,
-                 n_frames: int = 120, fps: int = 30):
+                 n_frames: int = 120, fps: int = 30, sample=None):
+    """`sample` (optional): the batch dict of the scene being rendered —
+    required for mipnerf360, whose LLFF spiral is built from the sample's
+    poses (tar_c2w) and depth bounds (near_far)."""
     img_size = tuple(cfg.infer_dataset.img_size)
-    cams = uni_video_path(n_frames, cfg.infer_dataset.dataset_name, img_size,
-                          transform_mats)
+    c2ws = near_fars = sample_fov = None
+    if sample is not None:
+        c2ws = np.asarray(sample["tar_c2w"]).reshape(-1, 4, 4)
+        near_fars = np.asarray(sample["near_far"])
+        sample_fov = (float(np.ravel(sample["fovx"])[0]),
+                      float(np.ravel(sample["fovy"])[0]))
+    name = cfg.infer_dataset.dataset_name
+    cams = uni_video_path(n_frames, name, img_size, transform_mats,
+                          fov=sample_fov if name in ("mipnerf360", "mipnerf")
+                          else None,
+                          c2ws=c2ws, near_fars=near_fars)
     frames = _render_frames(cams, gauss, cfg, img_size)
     rgb = [(np.clip(f["image"], 0, 1) * 255).astype(np.uint8) for f in frames]
 

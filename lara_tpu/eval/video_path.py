@@ -98,11 +98,73 @@ def generate_instant3d_frames(N, img_size, transform_mats=None, elevation=0.0,
     return frames
 
 
-def uni_video_path(N, dataset_name, img_size, transform_mats=None, fov=None):
+def _look_at(z_dir, y_hint, pos) -> np.ndarray:
+    """Right-handed OpenCV c2w (forward = +z toward the target, det +1)
+    from a viewing direction / y-axis hint / position. The reference's LLFF
+    `viewmatrix` (dataLoader/mipnerf.py:80-88) emits the right-up-back
+    convention with a flipped x column; our renderer consumes the OpenCV
+    convention the datasets serve, so the same trajectory is expressed in
+    that frame instead."""
+    z = z_dir / np.linalg.norm(z_dir)
+    x = np.cross(y_hint, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    m = np.eye(4, dtype=np.float32)
+    m[:3] = np.stack([x, y, z, pos], 1)
+    return m
+
+
+def generate_mipnerf_frames(N, img_size, c2ws, near_fars, fov=None,
+                            rads_scale: float = 1.0, n_rots: int = 2,
+                            z_rate: float = 0.5) -> List[PathCamera]:
+    """LLFF spiral around the average pose (dataLoader/mipnerf.py:90-118):
+    focus depth from a dt=0.75 harmonic blend of the scene depth bounds,
+    spiral radii from the 90th percentile of |camera translations|, n_rots
+    turns with a z oscillation at z_rate. `c2ws` [V,4,4] and `near_fars`
+    [V,2] (or [2]) come from the dataset's centered/rescaled poses."""
+    from lara_tpu.data.mipnerf import average_pose
+
+    width, height = img_size
+    c2ws = np.asarray(c2ws, np.float64)
+    nf = np.asarray(near_fars, np.float64).reshape(-1, 2)
+    fovx, fovy = (0.7, 0.7) if fov is None else (float(fov[0]), float(fov[1]))
+
+    avg = np.eye(4)
+    avg[:3] = average_pose(c2ws[:, :3])
+    up = c2ws[:, :3, 1].sum(0)
+    up = up / np.linalg.norm(up)
+
+    close, far = nf.min() * 0.9, nf.max() * 5.0
+    dt = 0.75
+    focal = 1.0 / ((1.0 - dt) / close + dt / far)
+    rads = np.percentile(np.abs(c2ws[:, :3, 3]), 90, axis=0) * rads_scale
+    rads = np.concatenate([rads, [1.0]])
+
+    # focus point sits `focal` ahead of the average camera (+z = forward in
+    # the OpenCV frames the dataset serves)
+    focus_pt = avg[:3, :4] @ np.array([0, 0, focal, 1.0])
+    frames = []
+    for theta in np.linspace(0.0, 2.0 * math.pi * n_rots, N + 1)[:-1]:
+        offs = np.array([np.cos(theta), -np.sin(theta),
+                         -np.sin(theta * z_rate), 1.0]) * rads
+        pos = avg[:3, :4] @ offs
+        c2w = _look_at(focus_pt - pos, up, pos)
+        frames.append(PathCamera(c2w, width, height, fovy, fovx,
+                                 float(nf.min()), float(nf.max())))
+    return frames
+
+
+def uni_video_path(N, dataset_name, img_size, transform_mats=None, fov=None,
+                   c2ws=None, near_fars=None):
     if dataset_name in ("gobjeverse", "gobjaverse", "GSO", "synthetic"):
         return generate_gobjverse_frames(N, img_size, transform_mats, fov=fov)
     if dataset_name in ("instant3d", "mvgen"):
         return generate_instant3d_frames(N, img_size, transform_mats, fov=fov)
+    if dataset_name in ("mipnerf360", "mipnerf"):
+        if c2ws is None or near_fars is None:
+            raise ValueError("mipnerf360 video path needs the sample's "
+                             "c2ws + near_fars (LLFF spiral)")
+        return generate_mipnerf_frames(N, img_size, c2ws, near_fars, fov=fov)
     raise ValueError(f"no video path generator for {dataset_name!r}")
 
 

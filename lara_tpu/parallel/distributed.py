@@ -45,19 +45,29 @@ def maybe_initialize_distributed(coordinator: str | None = None,
     if coordinator is None and not multi:
         return False  # single-host run
 
-    from jax._src import xla_bridge
-    if xla_bridge.backends_are_initialized():
-        # too late to initialize (and on a single host there is no need);
-        # a real pod would have called this before any device use
-        return False
-
     try:
+        # initialize() itself guards against live backends (public API, no
+        # jax._src probing): it raises RuntimeError when called too late.
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id)
         return True
     except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        if "already initialized" in msg:
             return True
+        if "before" in msg or "backend" in msg:
+            # Too late: a JAX backend is live. On a real pod this silently
+            # falling back to single-process training would mean a wrong
+            # global batch — shout about it instead of hiding it.
+            import warnings
+            warnings.warn(
+                "multi-process JAX was requested "
+                f"(coordinator={coordinator!r}, num_processes={num_processes!r}) "
+                "but a JAX backend is already initialized — falling back to "
+                "SINGLE-process training. Call maybe_initialize_distributed() "
+                "before any jax device use.",
+                RuntimeWarning, stacklevel=2)
+            return False
         raise

@@ -186,3 +186,19 @@ def test_co3d_normalization_protocol():
     fwd = c2w[:3, 2]
     to_origin = -c2w[:3, 3] / np.linalg.norm(c2w[:3, 3])
     assert fwd @ to_origin > 0.8
+
+
+def test_objaverse_raw_downloader_resume(tmp_path):
+    """existing_scenes skip-list matches the reference's resume behavior
+    (tools/download_objaverse.py:11-30): tars and unpacked folders count."""
+    from tools.download_objaverse_raw import existing_scenes
+
+    (tmp_path / "0").mkdir()
+    (tmp_path / "0" / "10010.tar").write_bytes(b"x")
+    (tmp_path / "0" / "10011").mkdir()
+    (tmp_path / "5").mkdir()
+    (tmp_path / "5" / "99.tar").write_bytes(b"x")
+    (tmp_path / "not_a_dir.txt").write_text("ignore me")
+    got = existing_scenes(str(tmp_path))
+    assert got == {"0/10010", "0/10011", "5/99"}
+    assert existing_scenes(str(tmp_path / "missing")) == set()

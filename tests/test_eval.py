@@ -135,3 +135,86 @@ def test_mesh_render_view():
     # triangle interior shaded (not background white)
     assert img[32, 32, 0] < 1.0
     assert img[2, 2, 0] == 1.0
+
+
+def test_lpips_converter_roundtrip(tmp_path):
+    """tools/convert_lpips.py → load_lpips round-trip on a synthetic
+    torch state dict shaped like torchvision VGG16 features + lpips lins
+    (guards the eval LPIPS path end-to-end; VERDICT r2 item 7)."""
+    import torch
+
+    from lara_tpu.eval import lpips as L
+    from tools.convert_lpips import main as convert
+
+    torch.manual_seed(0)
+    # torchvision VGG16 `features` conv indices
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans, state, cin = [], {}, 3
+    for v in L._VGG_CFG:
+        if v != "M":
+            chans.append((cin, v))
+            cin = v
+    for idx, (ci, co) in zip(conv_idx, chans):
+        state[f"features.{idx}.weight"] = torch.randn(co, ci, 3, 3) * 0.05
+        state[f"features.{idx}.bias"] = torch.randn(co) * 0.01
+    lin_state = {}
+    for i, co in enumerate([64, 128, 256, 512, 512]):
+        lin_state[f"lin{i}.model.1.weight"] = torch.rand(1, co, 1, 1)
+
+    bb, lin = tmp_path / "vgg.pth", tmp_path / "lins.pth"
+    out = tmp_path / "lpips_vgg.npz"
+    torch.save(state, bb)
+    torch.save(lin_state, lin)
+    convert(str(bb), str(lin), str(out), "vgg")
+
+    fn = L.load_lpips(str(out), net="vgg")
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape) * 0.3, 0, 1).astype(np.float32)
+    assert fn(a, a) < 1e-6
+    assert fn(a, b) > fn(a, a)
+
+    # torch-side parity of one conv stage: converted weights must reproduce
+    # the torch conv output (transpose fidelity)
+    x = torch.randn(1, 3, 16, 16)
+    ref = torch.nn.functional.conv2d(
+        x, state["features.0.weight"], state["features.0.bias"], padding=1)
+    import jax
+    import jax.numpy as jnp
+    data = np.load(out)
+    got = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(data["vgg_w0"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + data["vgg_b0"])
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mipnerf_spiral_path():
+    """uni_video_path('mipnerf360') returns a valid LLFF spiral for a
+    synthetic forward-facing pose set (dataLoader/mipnerf.py:90-118)."""
+    rng = np.random.default_rng(3)
+    # forward-facing rig: cameras jittered on a plane, looking down +z
+    c2ws = []
+    for _ in range(12):
+        c2w = np.eye(4)
+        c2w[:3, 3] = rng.normal(scale=[0.5, 0.3, 0.1])
+        c2ws.append(c2w)
+    c2ws = np.stack(c2ws)
+    near_fars = np.tile(np.array([1.2, 8.0]), (12, 1))
+
+    frames = uni_video_path(40, "mipnerf360", (64, 48),
+                            c2ws=c2ws, near_fars=near_fars)
+    assert len(frames) == 40
+    pos = np.stack([f.c2w[:3, 3] for f in frames])
+    # spiral actually moves, stays within the rig's scale
+    assert np.ptp(pos[:, 0]) > 0.1 and np.ptp(pos[:, 1]) > 0.05
+    assert np.abs(pos).max() < 5.0
+    for f in frames[::7]:
+        R = f.c2w[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0.99
+    # without poses the mipnerf branch must fail loudly
+    import pytest
+    with pytest.raises(ValueError):
+        uni_video_path(8, "mipnerf360", (64, 48))
