@@ -29,7 +29,7 @@ from lara_tpu.models.volume import ModLN, VolTransformer
 from lara_tpu.ops.gather import take_rows, window_gather
 from lara_tpu.ops.grid_sample import grid_sample_2d
 from lara_tpu.ops.rasterizer import RasterizeConfig
-from lara_tpu.ops.renderer import render_view
+from lara_tpu.ops.renderer import render_view, render_view_rebind
 from lara_tpu.utils.camera import Camera, invert_rigid, ray_to_plucker
 from lara_tpu.utils.sh import rsh_cart_3
 
@@ -143,22 +143,33 @@ class LaRaNet(nn.Module):
         return sampled.reshape(sampled.shape[0], reso, reso, reso, -1).astype(feats.dtype)
 
     def __call__(self, batch: Dict, with_fine: bool = False, train: bool = False,
-                 return_buffer: bool = False, render_scale: float = 1.0) -> Dict:
+                 return_buffer: bool = False, render_scale: float = 1.0,
+                 n_views_sel: Optional[int] = None) -> Dict:
         """batch follows the reference schema (SURVEY.md §1 L2 contract);
         returns per-view maps stacked as [B, N, H', W', ...] plus `_fine`
         variants when with_fine. `render_scale` renders the output maps at
         round(H·s) (snapped to the tile grid) like the reference's
         `render_img_scale` (lightning/network.py:467,477) — the encoder and
-        fine-stage feature sampling still run at the native resolution."""
+        fine-stage feature sampling still run at the native resolution.
+
+        use_rand_views (lightning/network.py:434-438) has two static-shape
+        realizations:
+          - `n_views_sel` (preferred, static int): only the first
+            n_views_sel input views are encoded — like the reference, no
+            encoder/feat-vol FLOPs are spent on dropped views; one compiled
+            variant per distinct count (the dataset shuffles view order, so
+            a prefix is a uniform random subset);
+          - batch["view_mask"] (legacy): encode all n_views and exclude
+            dropped views' tokens from every cross-attention KV set.
+        """
         m = self.cfg.model
         tar_rgb = batch["tar_rgb"]
         B, N, H, W, _ = tar_rgb.shape
         n_in = self.cfg.n_views
+        if n_views_sel is not None:
+            assert 1 <= n_views_sel <= n_in
+            n_in = n_views_sel
 
-        # use_rand_views (lightning/network.py:434-438) with static shapes:
-        # the loop samples n_views_sel ∈ [2, n_views] on the host and ships a
-        # boolean mask over the first n_in views; deselected views' tokens
-        # are excluded from every cross-attention KV set.
         view_mask = batch.get("view_mask")
         if view_mask is not None:
             view_mask = jnp.asarray(view_mask).astype(bool)
@@ -211,33 +222,56 @@ class LaRaNet(nn.Module):
         rcfg = self._render_cfg(Hs, Ws, train)
         bg_colors = batch["bg_color"].astype(jnp.float32)
 
-        def render_bn(cam, rays, bg, gauss):
-            c, s, o, sc, q = gauss
-            return render_view(cam, rays, c, s, o, sc, q, bg, rcfg)
-
         # Sequential scan over scenes and views, NOT vmap: batching the
         # rasterizer's sort/searchsorted/pallas stages over B·N views lowers
         # catastrophically on TPU (measured 48 s/step vs ~1 s), and a single
-        # 512² render already saturates the chip.
-        def render_views(cams_v, rays_v, bgs_v, gauss):
-            def view_body(_, inp):
+        # 512² render already saturates the chip. The coarse pass caches each
+        # view's binning (depth sort + tile windows) so the fine re-render —
+        # identical geometry, new SH/opacity-mask — skips preprocess+binning
+        # entirely (the reference re-runs its full CUDA pipeline,
+        # lightning/network.py:502-525).
+        def render_batch(cams_b, rays_b, bgs_b, gauss_b, with_bin=False):
+            def view_body(gauss, inp):
                 cam, rays_i, bg = inp
-                return None, render_bn(cam, rays_i, bg, gauss)
+                c, s, o, sc, q = gauss
+                res = render_view(cam, rays_i, c, s, o, sc, q, bg, rcfg,
+                                  return_binned=with_bin)
+                return gauss, res
 
-            _, frames = jax.lax.scan(view_body, None, (cams_v, rays_v, bgs_v))
-            return frames
-
-        def render_batch(cams_b, rays_b, bgs_b, gauss_b):
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, gauss = inp
-                return None, render_views(cam_v, rays_v, bg_v, gauss)
+                _, res = jax.lax.scan(view_body, gauss,
+                                      (cam_v, rays_v, bg_v))
+                return None, res
 
             _, out = jax.lax.scan(scene_body, None,
                                   (cams_b, rays_b, bgs_b, gauss_b))
             return out
 
+        def render_batch_rebind(cams_b, rays_b, bgs_b, binned_b, sh_f, mask_f):
+            def view_body(gauss, inp):
+                cam, rays_i, bg, binned = inp
+                c, s, o, mk, sc, q = gauss
+                frame = render_view_rebind(cam, rays_i, binned, c, s, o, mk,
+                                           sc, q, bg, rcfg)
+                return gauss, frame
+
+            def scene_body(_, inp):
+                cam_v, rays_v, bg_v, binned_v, c, s, o, mk, sc, q = inp
+                _, frames = jax.lax.scan(view_body, (c, s, o, mk, sc, q),
+                                         (cam_v, rays_v, bg_v, binned_v))
+                return None, frames
+
+            _, out = jax.lax.scan(
+                scene_body, None,
+                (cams_b, rays_b, bgs_b, binned_b, centers_c, sh_f,
+                 opacity_c, mask_f, scaling_c, rotation_c))
+            return out
+
         gauss_c = (centers_c, sh_c, opacity_c, scaling_c, rotation_c)
-        out = render_batch(cams, rays_full, bg_colors, gauss_c)  # [B,N,H,W,...]
+        res = render_batch(cams, rays_full, bg_colors, gauss_c,
+                           with_bin=with_fine)              # [B,N,H,W,...]
+        out, binned = res if with_fine else (res, None)
 
         outputs = dict(out)
         buffers = {}
@@ -254,25 +288,32 @@ class LaRaNet(nn.Module):
                     a = out[k]
                     tgt = (B, N, H, W) + a.shape[4:]
                     fine_src[k] = jax.image.resize(a, tgt, method="linear")
-            fine = self._fine_stage(
+            sh_fine, sel_mask = self._fine_stage(
                 batch, fine_src, volume_feat_up, centers_c, sh_c, opacity_c,
-                scaling_c, rotation_c, n_in, (H, W), view_mask)
-            gauss_f = fine
-            out_f = render_batch(cams, rays_full, bg_colors, gauss_f)
+                n_in, (H, W), view_mask)
+            out_f = render_batch_rebind(cams, rays_full, bg_colors, binned,
+                                        sh_fine, sel_mask)
             outputs.update({f"{k}_fine": v for k, v in out_f.items()})
             if return_buffer:
-                buffers["fine"] = gauss_f
+                # full-set fine surfels (deselected entries disabled via the
+                # reference's -1e4 logit convention) for video/mesh export
+                op_f = jnp.where(sel_mask[..., None], opacity_c, -1e4)
+                buffers["fine"] = (centers_c, sh_fine, op_f, scaling_c,
+                                   rotation_c)
         if return_buffer:
             outputs["render_pkg"] = buffers
         return outputs
 
     def _fine_stage(self, batch, coarse_out, volume_feat_up, centers, sh_c,
-                    opacity_c, scaling_c, rotation_c, n_in: int, img_hw,
-                    view_mask=None):
+                    opacity_c, n_in: int, img_hw, view_mask=None):
         """Static-shape fine refinement (lightning/network.py:502-525):
         select the top-`fine_budget` surfels by coarse opacity, build per-view
         point features from the coarse renders, predict an SH residual, and
-        return the fine surfel set (padded entries get -1e4 opacity)."""
+        scatter it back onto the full surfel set. Returns
+        (sh_fine [B,P,SH,3], sel_mask [B,P] bool); deselected surfels render
+        as absent (the reference's -1e4 opacity logit). Keeping the full set
+        lets the re-render reuse the coarse binning — no per-parameter
+        selection gathers (round-2's dominant non-render backward cost)."""
         m = self.cfg.model
         M = min(m.fine_budget, centers.shape[1])
         h, w = img_hw
@@ -281,19 +322,17 @@ class LaRaNet(nn.Module):
         op_act = jax.nn.sigmoid(opacity_c[..., 0])
         score = jax.lax.stop_gradient(jnp.where(op_act > 0.005, op_act, -1.0))
 
-        def per_scene(score_b, centers_b, sh_b, op_b, sc_b, rot_b, vol_b,
+        def per_scene(score_b, centers_b, sh_b, vol_b,
                       img_ref, rend_img, rend_acc, rend_dep, w2c_in, ixt_in):
             vals, idx = jax.lax.top_k(score_b, M)
             sel_ok = vals > 0.0
 
-            # top_k indices are distinct, so the gathers transpose to gathers
-            # (take_rows); XLA's default transpose is a scatter-add per tensor
-            # per scene — measured the dominant non-render backward cost.
+            # Selection gathers (XLA scatter-add transpose — measured faster
+            # than sort-based alternatives at this shape, docs/rasterizer.md):
+            # only centers + voxel features are needed now; SH/opacity/scale/
+            # rotation selections are gone since the re-render keeps the full
+            # surfel set.
             c_sel = take_rows(centers_b, idx)
-            sh_sel = take_rows(sh_b, idx)
-            op_sel = take_rows(op_b, idx)
-            sc_sel = take_rows(sc_b, idx)
-            rot_sel = take_rows(rot_b, idx)
             # voxel features: up to K surfel rows share one voxel → bounded-
             # duplicate gather (window_gather with max_dup=K)
             vol_sel = window_gather(
@@ -319,9 +358,12 @@ class LaRaNet(nn.Module):
 
             vm = None if view_mask is None else view_mask[0]
             sh_res = self.decoder_fine(vol_sel, pf, vm)
-            sh_fine = sh_res.reshape(M, self.sh_dim // 3, 3) + sh_sel
-            op_fine = jnp.where(sel_ok[:, None], op_sel, -1e4)
-            return c_sel, sh_fine, op_fine, sc_sel, rot_sel
+            # residual scatter-add back onto the full SH set (top_k indices
+            # are distinct; the transpose is a gather — no scatter in bwd)
+            sh_fine = sh_b.at[idx].add(
+                sh_res.reshape(M, self.sh_dim // 3, 3).astype(sh_b.dtype))
+            sel_mask = jnp.zeros(centers_b.shape[0], bool).at[idx].set(sel_ok)
+            return sh_fine, sel_mask
 
         img_ref = batch["tar_rgb"][:, :n_in].astype(jnp.float32)       # [B,V,H,W,3]
         rend_img = coarse_out["image"][:, :n_in]
@@ -331,6 +373,5 @@ class LaRaNet(nn.Module):
         ixt_in = batch["tar_ixt"][:, :n_in]
 
         return jax.vmap(per_scene)(
-            score, centers, sh_c, opacity_c, scaling_c, rotation_c,
-            volume_feat_up, img_ref, rend_img, rend_acc, rend_dep,
-            w2c_in, ixt_in)
+            score, centers, sh_c, volume_feat_up, img_ref, rend_img,
+            rend_acc, rend_dep, w2c_in, ixt_in)

@@ -10,10 +10,19 @@ the measured verdict is mode-dependent (see tools/profile_rasterizer.py):
   - round-1 measurements of a full-permutation row scatter (524k rows)
     showed 56 ms, which motivated these custom paths in the first place.
 
-So the default `TRANSPOSE_MODE = "xla"` keeps the stock gather whose
-transpose is XLA's scatter, and the custom "lazy" implementations are kept
-behind the switch for A/B profiling on new workload shapes or toolchains.
-Flip the module global before tracing (jit caches per traced graph).
+Two module switches select the implementation (flip before tracing — jit
+caches per traced graph):
+
+  - `WINDOW_MODE` (default "xla"): the tile-window gather keeps the stock
+    XLA gather/scatter pair;
+  - `TAKE_ROWS_MODE` (default "inv"): `take_rows` uses the forward-carried
+    inverse-permutation VJP *when the caller supplies `inv_pos`* (the
+    rasterizer's depth-compaction does), and otherwise deliberately falls
+    back to the plain XLA gather — for selection-style index sets (e.g.
+    the fine stage's `top_k`) the inverse is not free to build, and XLA's
+    scatter-add transpose measured faster than the sort-based "lazy"
+    reconstruction (29.4 ms vs 112 ms full render fwd+bwd,
+    docs/rasterizer.md).
 """
 
 from __future__ import annotations
@@ -38,8 +47,10 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray, inv_pos=None):
 
     `inv_pos` [N] (optional): position of row i in `idx` (≥ V when absent) —
     lets "inv" mode express the transpose as one masked row gather in the
-    backward. Only consulted in "inv" mode; when omitted, "inv" falls back
-    to "lazy" (which builds the inverse in the backward)."""
+    backward. Only consulted in "inv" mode; when omitted, "inv" uses the
+    plain XLA gather (scatter-add transpose), which measured faster than
+    reconstructing the inverse in the backward ("lazy") for selection-style
+    indices — see the module docstring."""
     if TAKE_ROWS_MODE == "lazy":
         return _take_rows_lazy(x, idx)
     if TAKE_ROWS_MODE == "inv" and inv_pos is not None:

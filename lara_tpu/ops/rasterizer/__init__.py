@@ -20,6 +20,8 @@ Backends:
 """
 
 from lara_tpu.ops.rasterizer.types import RasterizeConfig, RenderOutput
-from lara_tpu.ops.rasterizer.api import rasterize
+from lara_tpu.ops.rasterizer.api import (rasterize, rasterize_and_bin,
+                                         rasterize_rebind)
 
-__all__ = ["RasterizeConfig", "RenderOutput", "rasterize"]
+__all__ = ["RasterizeConfig", "RenderOutput", "rasterize",
+           "rasterize_and_bin", "rasterize_rebind"]

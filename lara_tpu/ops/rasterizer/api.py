@@ -45,3 +45,54 @@ def rasterize(
         from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
         return rasterize_pallas(means3d, shs, opacities, scales, rotations, camera, bg, cfg)
     raise ValueError(f"unknown rasterizer backend: {cfg.backend!r}")
+
+
+def rasterize_and_bin(
+    means3d, shs, opacities, scales, rotations,
+    camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
+):
+    """`rasterize` that also returns the per-view binning state for
+    geometry-preserving re-renders (None on the brute-force reference
+    backend, which has no binning)."""
+    if cfg.backend == "tiled":
+        from lara_tpu.ops.rasterizer.tiled import rasterize_tiled
+        return rasterize_tiled(means3d, shs, opacities, scales, rotations,
+                               camera, bg, cfg, return_binned=True)
+    if cfg.backend == "pallas":
+        from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+        return rasterize_pallas(means3d, shs, opacities, scales, rotations,
+                                camera, bg, cfg, return_binned=True)
+    return (rasterize(means3d, shs, opacities, scales, rotations, camera,
+                      bg, cfg), None)
+
+
+def rasterize_rebind(
+    binned, means3d, shs, opacities, scales, rotations,
+    camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
+) -> RenderOutput:
+    """Re-render the SAME geometry (means/scales/rotations unchanged since
+    the `rasterize_and_bin` call that produced `binned`) with new SH
+    coefficients / opacities. On the binned backends this is color-column
+    repacking + blend only — no preprocess, no sorts (the reference re-runs
+    the full CUDA pipeline for its fine pass, lightning/network.py:502-525);
+    the brute-force reference backend simply re-rasterizes.
+
+    `opacities` are activated; entries the caller disabled must be exactly
+    0 (they then contribute nothing, like the reference's -1e4 logits)."""
+    if binned is None or cfg.backend == "reference":
+        return rasterize(means3d, shs, opacities, scales, rotations, camera,
+                         bg, cfg)
+
+    from lara_tpu.utils.sh import eval_sh_color
+
+    viewdir = means3d.astype(jnp.float32) - camera.campos.astype(jnp.float32)
+    viewdir = viewdir / jnp.maximum(
+        jnp.linalg.norm(viewdir, axis=-1, keepdims=True), 1e-12)
+    rgb = eval_sh_color(shs.astype(jnp.float32), viewdir, cfg.sh_degree)
+    packed = binned.repack_colors(rgb, opacities)
+
+    if cfg.backend == "tiled":
+        from lara_tpu.ops.rasterizer.tiled import blend_binned_tiled
+        return blend_binned_tiled(packed, binned, camera, bg, cfg)
+    from lara_tpu.ops.rasterizer.pallas import blend_binned_pallas
+    return blend_binned_pallas(packed, binned, camera, bg, cfg)

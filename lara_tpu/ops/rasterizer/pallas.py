@@ -4,6 +4,12 @@ Fully differentiable: the blend has a custom VJP (Pallas backward kernel
 with per-tile early exit); the surrounding preprocess → pack → sort-gather →
 window-gather chain is plain JAX, so gradients reach means/shs/opacities/
 scales/rotations through standard gather transposes.
+
+`rasterize_pallas(..., return_binned=True)` additionally returns the
+per-view `BinnedView`, and `blend_binned_pallas` re-composites it with new
+colors — the fine-stage re-render (identical geometry, new SH) skips the
+whole preprocess+binning pipeline that way (the CUDA reference re-runs it,
+lightning/network.py:502-525).
 """
 
 from __future__ import annotations
@@ -14,26 +20,37 @@ import jax.numpy as jnp
 from lara_tpu.utils.camera import Camera
 from lara_tpu.ops.rasterizer.pallas_blend import blend_tiles_pallas
 from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
-from lara_tpu.ops.rasterizer.tiled import bin_surfels, window_gather
+from lara_tpu.ops.rasterizer.tiled import BinnedView, bin_view, window_gather
 from lara_tpu.ops.rasterizer.types import RasterizeConfig, RenderOutput
 
 
 def rasterize_pallas(
     means3d, shs, opacities, scales, rotations,
     camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
-) -> RenderOutput:
+    return_binned: bool = False,
+):
     assert cfg.tile_budget % cfg.pallas_chunk == 0, (
         "tile_budget must be a multiple of pallas_chunk")
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
-    packed, win_gidx, entry_valid, counts = bin_surfels(g, cfg)
-    entries = window_gather(packed, win_gidx, entry_valid,
+    binned = bin_view(g, cfg)
+    out = blend_binned_pallas(binned.packed, binned, camera, bg, cfg)
+    return (out, binned) if return_binned else out
+
+
+def blend_binned_pallas(
+    packed: jnp.ndarray, binned: BinnedView,
+    camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
+) -> RenderOutput:
+    """Composite from an existing binning (packed = binned.packed for the
+    first render, or binned.repack_colors(...) for a re-render)."""
+    entries = window_gather(packed, binned.win_gidx, binned.entry_valid,
                             cfg.dup * cfg.dup)        # [T, K, 13]
 
     scalars = jnp.stack([
         jnp.asarray(camera.tanfovx, jnp.float32).reshape(()),
         jnp.asarray(camera.tanfovy, jnp.float32).reshape(()),
     ])
-    out = blend_tiles_pallas(entries, counts, scalars, cfg)   # [T, C, P] raw
+    out = blend_tiles_pallas(entries, binned.counts, scalars, cfg)  # [T, C, P]
 
     tile = cfg.tile
 

@@ -25,7 +25,13 @@ def preprocess_surfels(
     rotations: jnp.ndarray,  # [N, 4] quaternions (w,x,y,z), any norm
     camera: Camera,
     cfg: RasterizeConfig,
-) -> ProjectedSurfels:
+    return_overflow: bool = False,
+):
+    """With return_overflow, also returns the fraction of valid surfels
+    whose UNclamped footprint exceeds cfg.max_radius — those lose coverage
+    (and gradient) outside their dup×dup tile ring, unlike the CUDA binning
+    which claims arbitrarily many tiles (SURVEY §2.3 step 2). Expected ≈ 0
+    at trained statistics; bench.py logs it, tests bound the error."""
     f32 = jnp.float32
     means3d = means3d.astype(f32)
     scales = scales.astype(f32)
@@ -86,7 +92,8 @@ def preprocess_surfels(
             d = jnp.abs(_proj(center_cam + sgn * off) - center2d)
             ext = jnp.maximum(ext, jnp.maximum(d[:, 0], d[:, 1]))
     filter_r = cut / jnp.sqrt(cfg.filter2d_invsq)  # cutoff σ of the 2D low-pass
-    radius = jnp.minimum(ext + filter_r, cfg.max_radius)
+    radius_unclamped = ext + filter_r
+    radius = jnp.minimum(radius_unclamped, cfg.max_radius)
 
     # View-dependent color.
     viewdir = means3d - camera.campos.astype(f32)
@@ -101,7 +108,7 @@ def preprocess_surfels(
     )
     valid = (z > cfg.near_cull) & on_screen & (opacities > cfg.alpha_min)
 
-    return ProjectedSurfels(
+    g = ProjectedSurfels(
         center_cam=center_cam,
         au=au,
         bv=bv,
@@ -113,3 +120,9 @@ def preprocess_surfels(
         radius=radius,
         valid=valid,
     )
+    if return_overflow:
+        n_valid = jnp.maximum(jnp.sum(valid.astype(f32)), 1.0)
+        overflow = jnp.sum(
+            (valid & (radius_unclamped > cfg.max_radius)).astype(f32)) / n_valid
+        return g, overflow
+    return g

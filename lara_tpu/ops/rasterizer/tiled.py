@@ -26,6 +26,7 @@ treated as fixed, exactly like the CUDA backward.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,46 @@ from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
 from lara_tpu.ops.rasterizer.types import ProjectedSurfels, RasterizeConfig, RenderOutput
 
 _GIDX_BITS = 19  # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
+
+
+class BinnedView(NamedTuple):
+    """Per-view binning state, reusable across re-renders of the SAME
+    geometry with different colors/opacities (the LaRa fine stage,
+    lightning/network.py:502-525, only swaps SH coefficients on a surfel
+    subset — the reference pays preprocess+binning twice for identical
+    geometry; caching it here makes the fine re-render color-only).
+
+    packed:      [V, 13] depth-compacted packed rows (coarse colors);
+                 columns 0:9 are pure geometry (center_cam, au, bv).
+    order_v:     [V] original surfel row per compacted row.
+    inv_order:   [N] compacted position of each original row (≥ V when
+                 dropped), or None outside take_rows "inv" mode.
+    win_gidx:    [T, K] per-tile entry windows (indices into packed rows).
+    entry_valid: [T, K] window-entry validity.
+    counts:      [T] per-tile entry counts (≤ K).
+    valid:       [N] preprocess validity (frustum ∧ opacity) — re-renders
+                 must mask their opacity with it like pack_surfels did.
+    """
+
+    packed: jnp.ndarray
+    order_v: jnp.ndarray
+    inv_order: Optional[jnp.ndarray]
+    win_gidx: jnp.ndarray
+    entry_valid: jnp.ndarray
+    counts: jnp.ndarray
+    valid: jnp.ndarray
+
+    def repack_colors(self, rgb: jnp.ndarray, opacity: jnp.ndarray) -> jnp.ndarray:
+        """New packed rows with the cached geometry columns and fresh
+        color/opacity columns: one [V, 4] row gather instead of the full
+        preprocess → pack → sort pipeline. `opacity` is activated; the
+        preprocess validity mask is applied here (pack_surfels contract)."""
+        cols = jnp.concatenate(
+            [rgb.astype(jnp.float32),
+             jnp.where(self.valid, opacity.astype(jnp.float32), 0.0)[:, None]],
+            axis=-1)
+        cols_v = take_rows(cols, self.order_v, self.inv_order)
+        return jnp.concatenate([self.packed[:, :9], cols_v], axis=-1)
 
 
 from lara_tpu.ops.gather import take_rows, window_gather  # noqa: F401 (re-export)
@@ -77,10 +118,14 @@ def unpack_surfels(m: jnp.ndarray, fx, fy, width: float, height: float) -> Proje
 
 
 def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
+    """Legacy tuple view of bin_view (kept for profiling tools/tests)."""
+    b = bin_view(g, cfg)
+    return b.packed, b.win_gidx, b.entry_valid, b.counts
+
+
+def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig) -> BinnedView:
     """Depth-sort surfels, compact to the nearest `visible_budget` valid ones,
-    build packed attributes and the per-tile entry windows. Returns
-    (packed [V,13], win_gidx [T,K] int32 indices into the depth-sorted rows,
-    entry_valid [T,K] bool, counts [T])."""
+    build packed attributes and the per-tile entry windows."""
     n = g.depth.shape[0]
     v = min(cfg.visible_budget, n) if cfg.visible_budget else n
     assert v <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
@@ -140,15 +185,30 @@ def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
     win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
     counts = jnp.minimum(counts, k_budget)
     entry_valid = jnp.arange(k_budget, dtype=jnp.int32)[None, :] < counts[:, None]
-    return packed, win_gidx, entry_valid, counts
+    return BinnedView(packed=packed, order_v=order_v, inv_order=inv_order,
+                      win_gidx=win_gidx, entry_valid=entry_valid,
+                      counts=counts, valid=g.valid)
 
 
 def rasterize_tiled(
     means3d, shs, opacities, scales, rotations,
     camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
-) -> RenderOutput:
+    return_binned: bool = False,
+):
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
-    packed, win_gidx, entry_valid, _ = bin_surfels(g, cfg)
+    binned = bin_view(g, cfg)
+    out = blend_binned_tiled(binned.packed, binned, camera, bg, cfg)
+    return (out, binned) if return_binned else out
+
+
+def blend_binned_tiled(
+    packed: jnp.ndarray, binned: BinnedView,
+    camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
+) -> RenderOutput:
+    """Composite from an existing binning. `packed` is either
+    `binned.packed` (first render) or `binned.repack_colors(...)` output
+    (re-render of the same geometry with new colors)."""
+    win_gidx, entry_valid = binned.win_gidx, binned.entry_valid
 
     # one bulk row gather: [T, K, 13]
     entries = window_gather(

@@ -180,17 +180,30 @@ class Trainer:
                                   step=restored["step"])
             start_epoch = restored["epoch"] + 1
 
-        step_coarse = make_train_step(self.net, self.mesh, with_fine=False,
-                                      grad_accum=cfg.train.grad_accum)
-        step_fine = make_train_step(self.net, self.mesh, with_fine=True,
-                                    grad_accum=cfg.train.grad_accum)
+        # one compiled step per (fine, n_views_sel) combination — built
+        # lazily; with use_rand_views off only (fine, None) variants exist
+        step_cache: Dict = {}
+
+        def get_step(with_fine: bool, n_sel):
+            key = (with_fine, n_sel)
+            if key not in step_cache:
+                step_cache[key] = make_train_step(
+                    self.net, self.mesh, with_fine=with_fine,
+                    grad_accum=cfg.train.grad_accum, n_views_sel=n_sel)
+            return step_cache[key]
         eval_coarse = make_eval_step(self.net, self.mesh, with_fine=False)
         eval_fine = make_eval_step(self.net, self.mesh, with_fine=True)
 
         t = cfg.train
         batches_per_epoch = max(1, int(len(train_loader) * t.limit_train_batches))
         micro = int(state.step)
-        t0 = time.time()
+        # Honest step telemetry: the first logging interval contains jit
+        # compilation, so steps_per_sec is measured from the END of that
+        # interval onward, and per-interval step times feed a p50 estimate.
+        t_warm = None
+        micro_warm = micro
+        t_prev = None
+        step_times: list = []
         last_stats: Dict = {}
         stop = False
 
@@ -203,24 +216,34 @@ class Trainer:
                 if i >= batches_per_epoch:
                     break
                 global_step = micro // t.grad_accum
-                fn = step_fine if global_step > t.start_fine else step_coarse
                 batch = sb  # host copies only needed for vis panels
                 sb = dict(sb)
                 sb.pop("meta", None)
+                n_sel = None
                 if t.use_rand_views:
                     # random 2-4 input views per step (lightning/network.py:
-                    # 434-438), as a static-shape boolean mask over the
-                    # first n_views (see LaRaNet.__call__)
+                    # 434-438): static slice to the first n_sel views (the
+                    # loader shuffles view order, so a prefix is a uniform
+                    # random subset) — no encoder FLOPs on dropped views
                     n_sel = int(self._rv_rng.integers(
                         2, min(4, self.cfg.n_views) + 1))
-                    vm = np.zeros((self.cfg.n_views,), np.bool_)
-                    vm[:n_sel] = True
-                    sb["view_mask"] = vm
+                    if n_sel == self.cfg.n_views:
+                        n_sel = None
+                fn = get_step(global_step > t.start_fine, n_sel)
                 state, stats = fn(state, sb)
                 micro += 1
                 if micro % (10 * t.grad_accum) == 0:
                     last_stats = {k: float(v) for k, v in stats.items()}
-                    last_stats["steps_per_sec"] = micro / (time.time() - t0)
+                    now = time.time()
+                    if t_warm is None:
+                        t_warm, micro_warm = now, micro  # interval 0 = compile
+                    else:
+                        last_stats["steps_per_sec"] = (
+                            (micro - micro_warm) / (now - t_warm))
+                        step_times.append((now - t_prev) / (10 * t.grad_accum))
+                        last_stats["step_time_p50_s"] = float(
+                            np.median(step_times))
+                    t_prev = now
                     for k, v in last_stats.items():
                         self.writer.add_scalar(f"train/{k}", v, global_step)
                 if t.vis_every_n_steps and global_step > 0 and \
@@ -243,10 +266,13 @@ class Trainer:
             # semantics; default 1 = every epoch), including when the epoch
             # was truncated by limit_train_batches (the reference's
             # Lightning loop does too; round-1 conflated the two inner
-            # breaks and never got here).
+            # breaks and never got here). Deliberate divergence from
+            # Lightning: the FINAL epoch always validates so the run ends
+            # with fresh metrics even when n_epoch is not a multiple of
+            # check_val_every_n_epoch.
             if ((epoch + 1) % max(1, t.check_val_every_n_epoch) != 0
                     and epoch != t.n_epoch - 1):
-                if (epoch + 1) % t.ckpt_every_n_epoch == 0:
+                if t.ckpt_every_n_epoch and (epoch + 1) % t.ckpt_every_n_epoch == 0:
                     ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
                 continue
             val_batches = max(1, int(len(val_loader) * t.limit_val_batches))
@@ -266,7 +292,8 @@ class Trainer:
             for k, vs in agg.items():
                 self.writer.add_scalar(f"val/{k}", float(np.mean(vs)), epoch)
 
-            if (epoch + 1) % t.ckpt_every_n_epoch == 0 or epoch == t.n_epoch - 1:
+            if (t.ckpt_every_n_epoch and (epoch + 1) % t.ckpt_every_n_epoch == 0) \
+                    or epoch == t.n_epoch - 1:
                 ckpt.save_checkpoint(ckpt_dir, int(state.step), state, epoch)
 
         self.state = state

@@ -31,10 +31,15 @@ from lara_tpu.train.loss import compute_losses
 
 
 def make_train_step(net: LaRaNet, mesh: Mesh, with_fine: bool,
-                    grad_accum: int = 1) -> Callable:
+                    grad_accum: int = 1, n_views_sel=None) -> Callable:
+    """`n_views_sel` (static int, use_rand_views): encode only the first
+    n_views_sel input views — the reference's random-subset semantics
+    (lightning/network.py:434-438) at the reference's cost, one compiled
+    variant per count (persistent-cache-friendly)."""
     def step_fn(state, batch) -> Tuple:
         def loss_fn(params):
-            out = net.apply(params, batch, with_fine=with_fine, train=True)
+            out = net.apply(params, batch, with_fine=with_fine, train=True,
+                            n_views_sel=n_views_sel)
             # state.step counts micro-steps (one per apply_gradients under
             # optax.MultiSteps); the reference's loss gates count *optimizer*
             # steps (Lightning global_step, lightning/loss.py:49).

@@ -311,3 +311,130 @@ def test_window_gather_vjp_matches_xla_scatter():
     g_xla = jax.grad(via_xla)(packed)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_xla),
                                rtol=1e-6, atol=1e-6)
+
+
+class TestBinnedRebind:
+    """Shared-binning re-render (the fine stage's color-only path): a
+    rebind with new SH + a keep mask must match a from-scratch render of
+    the same geometry with masked opacity (lightning/network.py:502-525
+    semantics at a fraction of the cost)."""
+
+    def _scene(self, n=600):
+        means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(7), n)
+        ks = jax.random.split(jax.random.PRNGKey(8), 2)
+        sh2 = shs + jax.random.normal(ks[0], shs.shape) * 0.2
+        keep = jax.random.uniform(ks[1], (n,)) < 0.6
+        return means, shs, sh2, op, scales, quats, keep
+
+    @pytest.mark.parametrize("backend", ["tiled", "pallas"])
+    def test_rebind_matches_scratch(self, backend):
+        from lara_tpu.ops.rasterizer import rasterize_and_bin, rasterize_rebind
+
+        means, shs, sh2, op, scales, quats, keep = self._scene()
+        # tile_budget must cover every entry of the densest tile: the rebind
+        # windows still contain the dropped (zero-opacity) entries, so a
+        # tight budget would truncate the two paths differently (documented
+        # overflow semantics, not an equivalence bug).
+        cfg = make_cfg(backend=backend, tile_budget=2048,
+                       pallas_chunk=32, pallas_tiles_per_step=2)
+        cam = front_camera()
+        bg = jnp.asarray([1.0, 1.0, 1.0])
+
+        kw = {}
+        if backend == "pallas":  # CPU run → interpreter mode
+            from lara_tpu.ops.rasterizer import pallas_blend  # noqa: F401
+            import lara_tpu.ops.rasterizer.pallas_blend as pb
+            from jax.experimental import pallas as pl  # noqa: F401
+            import functools as ft
+            import unittest.mock as mock
+            orig = pb.pl.pallas_call
+            kw["patch"] = mock.patch.object(
+                pb.pl, "pallas_call", ft.partial(orig, interpret=True))
+
+        ctx = kw.get("patch")
+        if ctx:
+            ctx.start()
+        try:
+            out_c, binned = rasterize_and_bin(
+                means, shs, op, scales, quats, cam, bg, cfg)
+            op_fine = jnp.where(keep, op, 0.0)
+            out_rebind = rasterize_rebind(
+                binned, means, sh2, op_fine, scales, quats, cam, bg, cfg)
+            # from-scratch render of the same fine set
+            out_scratch = rasterize(
+                means, sh2, op_fine, scales, quats, cam, bg, cfg)
+        finally:
+            if ctx:
+                ctx.stop()
+
+        np.testing.assert_allclose(np.asarray(out_rebind.image),
+                                   np.asarray(out_scratch.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_rebind.alpha),
+                                   np.asarray(out_scratch.alpha), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_rebind.depth_expected),
+                                   np.asarray(out_scratch.depth_expected),
+                                   atol=1e-4)
+        # and the coarse output is untouched by the refactor
+        out_plain = rasterize(means, shs, op, scales, quats, cam, bg,
+                              dataclasses.replace(cfg, backend="tiled"))
+        if backend == "tiled":
+            np.testing.assert_allclose(np.asarray(out_c.image),
+                                       np.asarray(out_plain.image), atol=2e-5)
+
+    def test_rebind_gradients_flow(self):
+        """Gradients from a rebind-rendered loss must reach the NEW SH, the
+        shared geometry (centers/scales/rotations), and the original
+        opacities — through the cached binning."""
+        from lara_tpu.ops.rasterizer import rasterize_and_bin, rasterize_rebind
+
+        means, shs, sh2, op, scales, quats, keep = self._scene(n=200)
+        cfg = make_cfg(backend="tiled", tile_budget=256)
+        cam = front_camera()
+        bg = jnp.asarray([0.0, 0.0, 0.0])
+
+        def loss(means_, sh2_, op_, scales_):
+            out_c, binned = rasterize_and_bin(
+                means_, shs, op_, scales_, quats, cam, bg, cfg)
+            out_f = rasterize_rebind(
+                binned, means_, sh2_, jnp.where(keep, op_, 0.0), scales_,
+                quats, cam, bg, cfg)
+            return jnp.mean(out_f.image) + 0.1 * jnp.mean(out_c.image)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(means, sh2, op, scales)
+        for name, gi in zip(["means", "sh2", "op", "scales"], g):
+            arr = np.asarray(gi)
+            assert np.all(np.isfinite(arr)), name
+            assert np.abs(arr).max() > 0, f"no gradient signal to {name}"
+
+
+def test_radius_overflow_counter_and_truncation_bound():
+    """max_radius clamp accounting (VERDICT r2 weak #7): the overflow
+    counter measures how many valid surfels claim more than the dup×dup
+    ring covers; at trained-statistics scales it must be ~0, and on a
+    pathological big-splat scene the tiled-vs-reference truncation error
+    must stay bounded while the counter flags the overflow."""
+    from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
+
+    cam = front_camera()
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+
+    # trained-like scene: tiny scales → no overflow, backends agree
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(3), 300)
+    cfg = make_cfg(tile_budget=2048)
+    _, overflow = preprocess_surfels(means, shs, op, scales, quats, cam, cfg,
+                                     return_overflow=True)
+    assert float(overflow) < 0.01
+
+    # pathological: huge splats (radius >> (dup-1)*tile/2 = 16 px)
+    big_scales = jnp.full((300, 2), 0.25)
+    _, overflow_big = preprocess_surfels(means, shs, op, big_scales, quats,
+                                         cam, cfg, return_overflow=True)
+    assert float(overflow_big) > 0.5  # the counter must flag it
+
+    out_t = rasterize(means, shs, op, big_scales, quats, cam, bg, cfg)
+    out_r = rasterize_reference(means, shs, op, big_scales, quats, cam, bg,
+                                dataclasses.replace(cfg, backend="reference"))
+    err = np.abs(np.asarray(out_t.image) - np.asarray(out_r.image))
+    psnr = -10 * np.log10(np.mean(err ** 2) + 1e-12)
+    # truncation loses the far tails only; the bulk must still match
+    assert psnr > 20, f"big-splat truncation error too large: {psnr:.1f} dB"
