@@ -18,3 +18,13 @@ def test_dryrun_multichip_small():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_dryrun_multihost():
+    """Simulated 2-host bring-up (jax.distributed over 2 subprocesses × 2
+    virtual CPU devices): one global dp=4 fine train step, loss parity
+    across hosts and with a single-process run (DDP process-group
+    semantics, train_lightning.py:68-72)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multihost(num_processes=2, n_local=2)
