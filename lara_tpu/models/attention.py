@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -27,6 +28,15 @@ class MultiHeadAttention(nn.Module):
     use_bias: bool = False
     out_bias: Optional[bool] = None  # torch MHA out_proj bias follows `bias`
     dtype: jnp.dtype = jnp.bfloat16
+    q_chunk: Optional[int] = None  # memory-efficient attention: process query
+                                   # rows in chunks of this size with
+                                   # per-chunk rematerialization — the
+                                   # [B,h,Lq,Lk] score matrix never
+                                   # materializes (at the ViT's 12×1025²
+                                   # shape that is 2×327 MB of backward
+                                   # buffers on the flagship step).
+                                   # Numerically identical: softmax is over
+                                   # k, so query chunks are independent.
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None,
@@ -54,11 +64,28 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(bq, lk, h, hd)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(self.dtype)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
-        if kv_mask is not None:
-            logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
-        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(bq, lq, self.dim)
+
+        def attend(q_rows):  # [bq, c, h, hd] -> [bq, c, h, hd]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q_rows * scale,
+                                k).astype(jnp.float32)
+            if kv_mask is not None:
+                logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
+            probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        c = self.q_chunk
+        if c is not None and lq > c:
+            pad = (-lq) % c
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            qs = jnp.moveaxis(
+                qp.reshape(bq, (lq + pad) // c, c, h, hd), 1, 0)
+            # per-chunk remat: backward recomputes each chunk's scores
+            # instead of the scan stacking them back into the full matrix
+            outs = jax.lax.map(jax.checkpoint(attend), qs)
+            out = jnp.moveaxis(outs, 0, 1).reshape(bq, lq + pad, h, hd)[:, :lq]
+        else:
+            out = attend(q)
+        out = out.reshape(bq, lq, self.dim)
         return dense("out_proj", out_bias)(out)
 
 

@@ -33,7 +33,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from lara_tpu.models.vit import convert_timm_state_dict
+from lara_tpu.models.vit import convert_timm_state_dict, stack_layers
 
 
 def _a(t) -> np.ndarray:
@@ -105,9 +105,10 @@ def convert_network_state_dict(sd: Dict[str, Any], num_layers: int = 12,
 
     vol: Dict[str, Any] = {}
     vol["pos_embed"] = _a(sd["vol_decoder.pos_embed"]).transpose(0, 2, 3, 4, 1)
+    layers = []
     for i in range(num_layers):
         k = f"vol_decoder.layers.{i}"
-        vol[f"layer{i}"] = {
+        layers.append({
             "norm1": _layernorm(sd, k + ".norm1"),
             "norm2": _layernorm(sd, k + ".norm2"),
             "norm3": _layernorm(sd, k + ".norm3"),
@@ -115,7 +116,8 @@ def convert_network_state_dict(sd: Dict[str, Any], num_layers: int = 12,
             "mlp": {"fc1": _linear(sd, k + ".mlp.0"),
                     "fc2": _linear(sd, k + ".mlp.3")},
             "cnn": _conv3d(sd, k + ".cnn"),
-        }
+        })
+    vol["layers"] = {"block": stack_layers(layers)}
     vol["norm"] = _layernorm(sd, "vol_decoder.norm")
     vol["deconv"] = _deconv3d(sd, "vol_decoder.deconv")
     p["vol_decoder"] = vol

@@ -230,17 +230,25 @@ class LaRaNet(nn.Module):
         # identical geometry, new SH/opacity-mask — skips preprocess+binning
         # entirely (the reference re-runs its full CUDA pipeline,
         # lightning/network.py:502-525).
+        # The per-scene surfel tensors enter the view scans as CLOSURE
+        # constants, never as scan carry/xs: a carried [524k, 3] f32 tensor
+        # gets checkpoint-saved per VIEW iteration and the stacked copy
+        # picks up the (8,128)-tile layout — 42× lane padding on the
+        # 3-wide minor dim, 3 × 2 GB of backward HBM at the flagship step
+        # (measured OOM). As constants they stay one buffer and their
+        # backward is a single cross-view accumulator.
         def render_batch(cams_b, rays_b, bgs_b, gauss_b, with_bin=False):
-            def view_body(gauss, inp):
-                cam, rays_i, bg = inp
-                c, s, o, sc, q = gauss
-                res = render_view(cam, rays_i, c, s, o, sc, q, bg, rcfg,
-                                  return_binned=with_bin)
-                return gauss, res
-
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, gauss = inp
-                _, res = jax.lax.scan(view_body, gauss,
+                c, s, o, sc, q = gauss
+
+                def view_body(_, vin):
+                    cam, rays_i, bg = vin
+                    res = render_view(cam, rays_i, c, s, o, sc, q, bg, rcfg,
+                                      return_binned=with_bin)
+                    return None, res
+
+                _, res = jax.lax.scan(view_body, None,
                                       (cam_v, rays_v, bg_v))
                 return None, res
 
@@ -249,16 +257,16 @@ class LaRaNet(nn.Module):
             return out
 
         def render_batch_rebind(cams_b, rays_b, bgs_b, binned_b, sh_f, mask_f):
-            def view_body(gauss, inp):
-                cam, rays_i, bg, binned = inp
-                c, s, o, mk, sc, q = gauss
-                frame = render_view_rebind(cam, rays_i, binned, c, s, o, mk,
-                                           sc, q, bg, rcfg)
-                return gauss, frame
-
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, binned_v, c, s, o, mk, sc, q = inp
-                _, frames = jax.lax.scan(view_body, (c, s, o, mk, sc, q),
+
+                def view_body(_, vin):
+                    cam, rays_i, bg, binned = vin
+                    frame = render_view_rebind(cam, rays_i, binned, c, s, o,
+                                               mk, sc, q, bg, rcfg)
+                    return None, frame
+
+                _, frames = jax.lax.scan(view_body, None,
                                          (cam_v, rays_v, bg_v, binned_v))
                 return None, frames
 

@@ -40,11 +40,29 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + MultiHeadAttention(self.dim, self.num_heads, use_bias=True,
-                                   dtype=self.dtype, name="attn")(y)
+                                   dtype=self.dtype, q_chunk=256,
+                                   name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
                     dtype=self.dtype, name="mlp")(y)
         return x
+
+
+class _ScanViTBlock(nn.Module):
+    """nn.scan body for the 12 identical ViT blocks — one compiled layer
+    body (and one layer of backward HBM) instead of 12 unrolled copies;
+    same motivation as lara_tpu.models.volume._ScanLayer."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, _):
+        cls = nn.remat(ViTBlock) if self.remat else ViTBlock
+        x = cls(self.dim, self.num_heads, dtype=self.dtype, name="block")(x)
+        return x, None
 
 
 class DinoViT(nn.Module):
@@ -91,9 +109,12 @@ class DinoViT(nn.Module):
         cls_tok = jnp.broadcast_to(cls + pos_cls, (b, 1, self.dim)).astype(self.dtype)
         x = jnp.concatenate([cls_tok, x], axis=1)
 
-        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
-        for i in range(self.depth):
-            x = block_cls(self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}")(x)
+        scan = nn.scan(
+            _ScanViTBlock, variable_axes={"params": 0},
+            split_rngs={"params": True}, in_axes=nn.broadcast,
+            length=self.depth)
+        x, _ = scan(self.dim, self.num_heads, dtype=self.dtype,
+                    remat=self.remat, name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS
 
@@ -115,14 +136,14 @@ def convert_timm_state_dict(state_dict: Dict[str, Any], depth: int = 12) -> Dict
     }
     p["cls_token"] = a(state_dict["cls_token"])
     p["pos_embed"] = a(state_dict["pos_embed"])
+    layers = []
     for i in range(depth):
         pre = f"blocks.{i}."
         qkv_w = a(state_dict[pre + "attn.qkv.weight"])  # [3*dim, dim]
         qkv_b = a(state_dict[pre + "attn.qkv.bias"])
-        dim = qkv_w.shape[1]
         qw, kw, vw = np.split(qkv_w, 3, axis=0)
         qb, kb, vb = np.split(qkv_b, 3, axis=0)
-        p[f"block{i}"] = {
+        layers.append({
             "norm1": {"scale": a(state_dict[pre + "norm1.weight"]),
                       "bias": a(state_dict[pre + "norm1.bias"])},
             "attn": {
@@ -140,7 +161,18 @@ def convert_timm_state_dict(state_dict: Dict[str, Any], depth: int = 12) -> Dict
                 "fc2": {"kernel": a(state_dict[pre + "mlp.fc2.weight"]).T,
                         "bias": a(state_dict[pre + "mlp.fc2.bias"])},
             },
-        }
+        })
+    p["blocks"] = {"block": stack_layers(layers)}
     p["norm"] = {"scale": a(state_dict["norm.weight"]),
                  "bias": a(state_dict["norm.bias"])}
     return p
+
+
+def stack_layers(layers):
+    """Per-layer param trees → one tree with a leading layer axis (the
+    nn.scan layout of the stacked transformer blocks)."""
+    import jax
+
+    if not layers:
+        return {}
+    return jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *layers)

@@ -58,6 +58,23 @@ class ModLN(nn.Module):
         return x * (1 + scale) + shift
 
 
+def _group_cond(image_feats: jnp.ndarray, view_mask, n_group: int):
+    """Per-layer KV grouping (lightning/network.py:144-150): group each
+    view's feature volume with the layer's block size and flatten all views'
+    tokens of a group into one sequence. [B, V, D, H, W, C] →
+    ([B, G³, V·l, C], [B, G³, V·l] mask or None)."""
+    b, v, d, h, w, c = image_feats.shape
+    per_view = group_volume(image_feats.reshape(b * v, d, h, w, c),
+                            d // n_group)
+    g3, l = per_view.shape[1], per_view.shape[2]
+    per_view = per_view.reshape(b, v, g3, l, c)
+    cond = per_view.transpose(0, 2, 1, 3, 4).reshape(b, g3, v * l, c)
+    if view_mask is None:
+        return cond, None
+    m = jnp.broadcast_to(view_mask[:, None, :, None], (b, g3, v, l))
+    return cond, m.reshape(b, g3, v * l)
+
+
 class GroupAttBlock(nn.Module):
     """One volume-transformer layer (lightning/network.py:57-102):
     group cross-attention → MLP → LayerNorm → 3D-conv residual."""
@@ -71,13 +88,23 @@ class GroupAttBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray, cond_mask=None):
-        """x [B, D, H, W, C]; cond [B, G³, L_cond, C_cond] (per-group tokens);
-        cond_mask [B, G³, L_cond] bool (False tokens dropped from attention —
-        the static-shape use_rand_views path)."""
+        """x [B, D, H, W, C]; cond is either pre-grouped per-group tokens
+        [B, G³, L_cond, C_cond], or the RAW per-view feature volume
+        [B, V, Df, Hf, Wf, C_cond] — then grouped here, INSIDE the layer's
+        remat boundary: the grouped [B, G³, V·l, C] tensor is a pure
+        relayout of the shared feature volume, and building it inside means
+        the backward recomputes it instead of every layer saving its own
+        84 MB remat-boundary copy (12 × 84 MB at the flagship config — the
+        round-3 train-step HBM OOM). cond_mask is [B, G³, L_cond] bool, or
+        the [B, V] view mask with a raw cond (False tokens dropped from
+        attention — the static-shape use_rand_views path)."""
         from lara_tpu.parallel import tp
 
         block_size = self.block_size
         b, d, h, w, c = x.shape
+        if cond.ndim == 6:
+            cond, cond_mask = _group_cond(cond, cond_mask,
+                                          d // block_size)
         patches = group_volume(x, block_size)                 # [B, G, l, C]
         g = patches.shape[1]
         flat = tp.shard_groups(patches.reshape(b * g, -1, c))
@@ -105,6 +132,33 @@ class GroupAttBlock(nn.Module):
         return vol
 
 
+class _ScanLayer(nn.Module):
+    """nn.scan body: one GroupAttBlock step of the layer stack. Scanning the
+    12 identical layers (reference config n_groups=(16,)) compiles ONE layer
+    body instead of 12 unrolled copies — XLA then schedules the remat'd
+    backward one layer at a time (the unrolled form kept every layer's
+    96 MB MLP backward temps live simultaneously, ~1.2 GB of the flagship
+    step's HBM OOM) and the step graph compiles ~12× less vol-decoder HLO."""
+
+    inner_dim: int
+    num_heads: int
+    cond_dim: int
+    block_size: int
+    mlp_ratio: float = 2.0
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, cond_pack):
+        cond, mask = cond_pack
+        cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
+        x = cls(inner_dim=self.inner_dim, num_heads=self.num_heads,
+                cond_dim=self.cond_dim, block_size=self.block_size,
+                mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                name="block")(x, cond, mask)
+        return x, None
+
+
 class VolTransformer(nn.Module):
     """Stack of GroupAttBlocks over a learned 3D positional volume, with a
     final 2× transposed-conv upsample (lightning/network.py:105-164)."""
@@ -130,20 +184,7 @@ class VolTransformer(nn.Module):
         lightning/network.py:434-438, realized with static shapes).
         """
         b, v, d, h, w, c = image_feats.shape
-
-        conds = []
         block_sizes = [self.vol_low_res // n for n in self.n_groups]
-        for n_group in self.n_groups:
-            blk = d // n_group
-            per_view = group_volume(image_feats.reshape(b * v, d, h, w, c), blk)
-            g3, l = per_view.shape[1], per_view.shape[2]
-            per_view = per_view.reshape(b, v, g3, l, c)
-            cond = per_view.transpose(0, 2, 1, 3, 4).reshape(b, g3, v * l, c)
-            if view_mask is None:
-                conds.append((cond, None))
-            else:
-                m = jnp.broadcast_to(view_mask[:, None, :, None], (b, g3, v, l))
-                conds.append((cond, m.reshape(b, g3, v * l)))
 
         r = self.vol_low_res
         pos = self.param(
@@ -152,14 +193,28 @@ class VolTransformer(nn.Module):
             (1, r, r, r, self.embed_dim), jnp.float32)
         x = jnp.broadcast_to(pos, (b, r, r, r, self.embed_dim)).astype(self.dtype)
 
-        block_cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
-        for i in range(self.num_layers):
-            gi = i % len(self.n_groups)
-            cond_i, mask_i = conds[gi]
-            x = block_cls(
+        # Each layer receives the RAW per-view feature volume and builds its
+        # grouped KV inside its own remat boundary — see GroupAttBlock.
+        if len(set(block_sizes)) == 1:
+            # identical layers (the reference config) → scanned stack
+            scan = nn.scan(
+                _ScanLayer, variable_axes={"params": 0},
+                split_rngs={"params": True}, in_axes=nn.broadcast,
+                length=self.num_layers)
+            x, _ = scan(
                 inner_dim=self.embed_dim, num_heads=self.num_heads,
-                cond_dim=self.image_feat_dim, block_size=block_sizes[gi],
-                dtype=self.dtype, name=f"layer{i}")(x, cond_i, mask_i)
+                cond_dim=self.image_feat_dim, block_size=block_sizes[0],
+                dtype=self.dtype, remat=self.remat,
+                name="layers")(x, (image_feats, view_mask))
+        else:
+            block_cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
+            for i in range(self.num_layers):
+                gi = i % len(self.n_groups)
+                x = block_cls(
+                    inner_dim=self.embed_dim, num_heads=self.num_heads,
+                    cond_dim=self.image_feat_dim, block_size=block_sizes[gi],
+                    dtype=self.dtype, name=f"layer{i}")(x, image_feats,
+                                                        view_mask)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.ConvTranspose(self.out_dim, (2, 2, 2), strides=(2, 2, 2),

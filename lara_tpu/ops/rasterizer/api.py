@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lara_tpu.utils.camera import Camera
@@ -72,10 +73,12 @@ def rasterize_rebind(
 ) -> RenderOutput:
     """Re-render the SAME geometry (means/scales/rotations unchanged since
     the `rasterize_and_bin` call that produced `binned`) with new SH
-    coefficients / opacities. On the binned backends this is color-column
-    repacking + blend only — no preprocess, no sorts (the reference re-runs
-    the full CUDA pipeline for its fine pass, lightning/network.py:502-525);
-    the brute-force reference backend simply re-rasterizes.
+    coefficients / opacities. On the binned backends this re-runs only the
+    cheap vectorized preprocess + one pack gather, then blends through the
+    cached tile windows — no depth sort, no window construction (the
+    reference re-runs the full CUDA pipeline for its fine pass,
+    lightning/network.py:502-525); the brute-force reference backend simply
+    re-rasterizes.
 
     `opacities` are activated; entries the caller disabled must be exactly
     0 (they then contribute nothing, like the reference's -1e4 logits)."""
@@ -83,13 +86,21 @@ def rasterize_rebind(
         return rasterize(means3d, shs, opacities, scales, rotations, camera,
                          bg, cfg)
 
-    from lara_tpu.utils.sh import eval_sh_color
+    from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
+    from lara_tpu.ops.rasterizer.tiled import repack_from_binned
 
-    viewdir = means3d.astype(jnp.float32) - camera.campos.astype(jnp.float32)
-    viewdir = viewdir / jnp.maximum(
-        jnp.linalg.norm(viewdir, axis=-1, keepdims=True), 1e-12)
-    rgb = eval_sh_color(shs.astype(jnp.float32), viewdir, cfg.sh_degree)
-    packed = binned.repack_colors(rgb, opacities)
+    # Rematerialized: inside the train step this runs once per (scene, view)
+    # under a scan, and the preprocess VJP residuals (rotation matrices, SH
+    # basis, projection terms — ~10s of MB per view over 524k surfels)
+    # otherwise stay live across the whole fine stage (measured +1.5 GB at
+    # the production step, an HBM OOM). Recomputing the vectorized preprocess
+    # in the backward costs ~1 ms/view; only `packed` [V, 13] is stored.
+    @jax.checkpoint
+    def _packed(m3, sh, op, sc, rot):
+        g = preprocess_surfels(m3, sh, op, sc, rot, camera, cfg)
+        return repack_from_binned(g, binned)
+
+    packed = _packed(means3d, shs, opacities, scales, rotations)
 
     if cfg.backend == "tiled":
         from lara_tpu.ops.rasterizer.tiled import blend_binned_tiled

@@ -6,9 +6,10 @@ window-gather chain is plain JAX, so gradients reach means/shs/opacities/
 scales/rotations through standard gather transposes.
 
 `rasterize_pallas(..., return_binned=True)` additionally returns the
-per-view `BinnedView`, and `blend_binned_pallas` re-composites it with new
-colors — the fine-stage re-render (identical geometry, new SH) skips the
-whole preprocess+binning pipeline that way (the CUDA reference re-runs it,
+per-view `BinnedView` (integer binning state), and `blend_binned_pallas`
+re-composites it with new colors — the fine-stage re-render (identical
+geometry, new SH) skips the depth sort + tile-window construction that way
+(the CUDA reference re-runs its whole pipeline,
 lightning/network.py:502-525).
 """
 
@@ -32,8 +33,8 @@ def rasterize_pallas(
     assert cfg.tile_budget % cfg.pallas_chunk == 0, (
         "tile_budget must be a multiple of pallas_chunk")
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
-    binned = bin_view(g, cfg)
-    out = blend_binned_pallas(binned.packed, binned, camera, bg, cfg)
+    packed, binned = bin_view(g, cfg)
+    out = blend_binned_pallas(packed, binned, camera, bg, cfg)
     return (out, binned) if return_binned else out
 
 
@@ -41,8 +42,8 @@ def blend_binned_pallas(
     packed: jnp.ndarray, binned: BinnedView,
     camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
 ) -> RenderOutput:
-    """Composite from an existing binning (packed = binned.packed for the
-    first render, or binned.repack_colors(...) for a re-render)."""
+    """Composite from an existing binning (packed from `bin_view` for the
+    first render, or `repack_from_binned` for a re-render)."""
     entries = window_gather(packed, binned.win_gidx, binned.entry_valid,
                             cfg.dup * cfg.dup)        # [T, K, 13]
 

@@ -36,7 +36,8 @@ from lara_tpu.ops.rasterizer.blend import composite, normalize_outputs, pixel_ra
 from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
 from lara_tpu.ops.rasterizer.types import ProjectedSurfels, RasterizeConfig, RenderOutput
 
-_GIDX_BITS = 19  # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
+_GIDX_BITS = 19   # supports N ≤ 524288 surfels (64³·K=2, the LaRa maximum)
+_BOUND_BITS = 5   # bits per packed tile-bound field (tiles_x/y ≤ 32)
 
 
 class BinnedView(NamedTuple):
@@ -44,39 +45,30 @@ class BinnedView(NamedTuple):
     geometry with different colors/opacities (the LaRa fine stage,
     lightning/network.py:502-525, only swaps SH coefficients on a surfel
     subset — the reference pays preprocess+binning twice for identical
-    geometry; caching it here makes the fine re-render color-only).
+    geometry; caching it here makes the fine re-render skip the expensive
+    depth sort + tile-window construction).
 
-    packed:      [V, 13] depth-compacted packed rows (coarse colors);
-                 columns 0:9 are pure geometry (center_cam, au, bv).
-    order_v:     [V] original surfel row per compacted row.
+    Only INTEGER state is cached. The re-render recomputes the cheap
+    vectorized preprocess + pack from the raw surfel inputs instead of
+    carrying the packed f32 matrix across the coarse→fine stage boundary:
+    stacked over B·N views inside the train step's scans, the packed
+    values + their backward cotangents cost ~1 GB at the production config
+    and pushed the step past HBM. Recomputation is a rematerialization —
+    geometry gradients flow through it identically.
+
+    order_v:     [V] original surfel row per depth-compacted row.
     inv_order:   [N] compacted position of each original row (≥ V when
                  dropped), or None outside take_rows "inv" mode.
     win_gidx:    [T, K] per-tile entry windows (indices into packed rows).
     entry_valid: [T, K] window-entry validity.
     counts:      [T] per-tile entry counts (≤ K).
-    valid:       [N] preprocess validity (frustum ∧ opacity) — re-renders
-                 must mask their opacity with it like pack_surfels did.
     """
 
-    packed: jnp.ndarray
     order_v: jnp.ndarray
     inv_order: Optional[jnp.ndarray]
     win_gidx: jnp.ndarray
     entry_valid: jnp.ndarray
     counts: jnp.ndarray
-    valid: jnp.ndarray
-
-    def repack_colors(self, rgb: jnp.ndarray, opacity: jnp.ndarray) -> jnp.ndarray:
-        """New packed rows with the cached geometry columns and fresh
-        color/opacity columns: one [V, 4] row gather instead of the full
-        preprocess → pack → sort pipeline. `opacity` is activated; the
-        preprocess validity mask is applied here (pack_surfels contract)."""
-        cols = jnp.concatenate(
-            [rgb.astype(jnp.float32),
-             jnp.where(self.valid, opacity.astype(jnp.float32), 0.0)[:, None]],
-            axis=-1)
-        cols_v = take_rows(cols, self.order_v, self.inv_order)
-        return jnp.concatenate([self.packed[:, :9], cols_v], axis=-1)
 
 
 from lara_tpu.ops.gather import take_rows, window_gather  # noqa: F401 (re-export)
@@ -119,13 +111,33 @@ def unpack_surfels(m: jnp.ndarray, fx, fy, width: float, height: float) -> Proje
 
 def bin_surfels(g: ProjectedSurfels, cfg: RasterizeConfig):
     """Legacy tuple view of bin_view (kept for profiling tools/tests)."""
-    b = bin_view(g, cfg)
-    return b.packed, b.win_gidx, b.entry_valid, b.counts
+    packed, b = bin_view(g, cfg)
+    return packed, b.win_gidx, b.entry_valid, b.counts
 
 
-def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig) -> BinnedView:
+def _pack_tile_bounds(g: ProjectedSurfels, cfg: RasterizeConfig) -> jnp.ndarray:
+    """Per-surfel clipped tile-rectangle bounds, bit-packed into ONE int32
+    (5 bits per field at ≤32 tiles/axis, scaling up to 2^30 total):
+    tx_lo | ty_lo<<b | tx_hi<<2b | ty_hi<<3b. Computed elementwise on the
+    FULL surfel set so the binning stage needs no extra per-column gathers
+    of center2d/radius/valid in depth order (three narrow 131k-row gathers
+    measured 3.0 ms — the single widest stage of the round-2 binning)."""
+    assert max(cfg.tiles_x, cfg.tiles_y) <= (1 << _BOUND_BITS)
+    c2d, radius, tile = g.center2d, g.radius, cfg.tile
+    tx_lo = jnp.clip(jnp.floor((c2d[:, 0] - radius) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty_lo = jnp.clip(jnp.floor((c2d[:, 1] - radius) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tx_hi = jnp.clip(jnp.floor((c2d[:, 0] + radius) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty_hi = jnp.clip(jnp.floor((c2d[:, 1] + radius) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    b = _BOUND_BITS
+    packed = tx_lo | (ty_lo << b) | (tx_hi << (2 * b)) | (ty_hi << (3 * b))
+    # invalid surfels claim nothing: hi < lo never passes the slot test
+    return jnp.where(g.valid, packed, (1 << b) - 1)
+
+
+def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     """Depth-sort surfels, compact to the nearest `visible_budget` valid ones,
-    build packed attributes and the per-tile entry windows."""
+    build packed attributes and the per-tile entry windows. Returns
+    (packed [V, 13], BinnedView)."""
     n = g.depth.shape[0]
     v = min(cfg.visible_budget, n) if cfg.visible_budget else n
     assert v <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
@@ -133,32 +145,39 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig) -> BinnedView:
     order = jnp.argsort(jnp.where(g.valid, g.depth, jnp.inf))
     order_v = jax.lax.slice_in_dim(order, 0, v) if v < n else order
     from lara_tpu.ops import gather as _gather
-    inv_order = (jnp.argsort(order) if _gather.TAKE_ROWS_MODE == "inv"
-                 else None)
-    packed = take_rows(pack_surfels(g), order_v, inv_order)
-    c2d = g.center2d[order_v]
-    radius = g.radius[order_v]
-    valid = g.valid[order_v]
+    # inverse permutation via scatter (one pass) instead of a second full
+    # KV argsort over N
+    inv_order = (jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+        if _gather.TAKE_ROWS_MODE == "inv" else None)
+    # ONE wide row gather carries everything the key build needs: the 13
+    # blend columns plus the bit-packed tile bounds as an exact-integer f32
+    # column (values < 2^24 round-trip exactly; no arithmetic touches the
+    # column between the cast and the cast back).
+    bounds_all = _pack_tile_bounds(g, cfg)
+    pack14 = jnp.concatenate(
+        [pack_surfels(g), bounds_all.astype(jnp.float32)[:, None]], axis=-1)
+    packed14 = take_rows(pack14, order_v, inv_order)
+    packed = packed14[:, :PACK_COLS]
+    bounds_v = packed14[:, PACK_COLS].astype(jnp.int32)          # [V]
     n = v
 
-    tile = cfg.tile
-    tx_lo = jnp.clip(jnp.floor((c2d[:, 0] - radius) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty_lo = jnp.clip(jnp.floor((c2d[:, 1] - radius) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
-    tx_hi = jnp.clip(jnp.floor((c2d[:, 0] + radius) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty_hi = jnp.clip(jnp.floor((c2d[:, 1] + radius) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    b = _BOUND_BITS
+    mask = (1 << b) - 1
+    tx_lo, ty_lo = bounds_v & mask, (bounds_v >> b) & mask
+    tx_hi, ty_hi = (bounds_v >> (2 * b)) & mask, (bounds_v >> (3 * b)) & mask
 
     d = cfg.dup
     si = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0).reshape(-1)
     sj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1).reshape(-1)
     tx = tx_lo[:, None] + sj[None, :]
     ty = ty_lo[:, None] + si[None, :]
-    slot_ok = (tx <= tx_hi[:, None]) & (ty <= ty_hi[:, None]) & valid[:, None]
+    slot_ok = (tx <= tx_hi[:, None]) & (ty <= ty_hi[:, None])
     tile_id = jnp.where(slot_ok, ty * cfg.tiles_x + tx, cfg.num_tiles)
 
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, d * d), 0)
     keys = ((tile_id << _GIDX_BITS) | gidx).reshape(-1)
     sorted_keys = jax.lax.sort(keys)
-    m = sorted_keys.shape[0]
 
     # Keep the dependent gathers in separate XLA computations: fusing the
     # searchsorted → window-keys → row-gather chain serializes the gathers
@@ -171,23 +190,27 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig) -> BinnedView:
 
     k_budget = cfg.tile_budget
     starts = jax.lax.optimization_barrier(starts)
-    # Window keys as T contiguous K-wide slices instead of a T·K element
-    # gather (one DMA descriptor per tile instead of per element — measured
-    # part of a ~3.3 ms stage). Padding with K sentinel keys keeps
-    # dynamic_slice from clamping a start below starts[t] when the sentinel
-    # tail is shorter than K (then entry k is exactly sorted position
-    # starts[t]+k; overhang rows are invalid-marked via counts).
+    # Window keys as one flat [T, K] element gather over the padded sorted
+    # array (measured faster than T dynamic slices: 1.18 vs 1.37 ms).
+    # Padding with K sentinel keys keeps entry k at exactly sorted position
+    # starts[t]+k; overhang rows are invalid-marked via counts.
     padded = jnp.concatenate(
         [sorted_keys, jnp.full((k_budget,), jnp.iinfo(jnp.int32).max, jnp.int32)])
-    win_keys = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (k_budget,)))(starts)
-    win_keys = jax.lax.optimization_barrier(win_keys)            # [T, K]
+    flat = starts[:, None] + jnp.arange(k_budget, dtype=jnp.int32)[None, :]
+    win_keys = jax.lax.optimization_barrier(padded[flat])        # [T, K]
     win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
     counts = jnp.minimum(counts, k_budget)
     entry_valid = jnp.arange(k_budget, dtype=jnp.int32)[None, :] < counts[:, None]
-    return BinnedView(packed=packed, order_v=order_v, inv_order=inv_order,
-                      win_gidx=win_gidx, entry_valid=entry_valid,
-                      counts=counts, valid=g.valid)
+    return packed, BinnedView(order_v=order_v, inv_order=inv_order,
+                              win_gidx=win_gidx, entry_valid=entry_valid,
+                              counts=counts)
+
+
+def repack_from_binned(g: ProjectedSurfels, binned: BinnedView) -> jnp.ndarray:
+    """Packed rows for a re-render: the cached depth-compaction order
+    applied to a fresh preprocess of the same geometry (new colors /
+    opacities) — one row gather, no sort, no window construction."""
+    return take_rows(pack_surfels(g), binned.order_v, binned.inv_order)
 
 
 def rasterize_tiled(
@@ -196,8 +219,8 @@ def rasterize_tiled(
     return_binned: bool = False,
 ):
     g = preprocess_surfels(means3d, shs, opacities, scales, rotations, camera, cfg)
-    binned = bin_view(g, cfg)
-    out = blend_binned_tiled(binned.packed, binned, camera, bg, cfg)
+    packed, binned = bin_view(g, cfg)
+    out = blend_binned_tiled(packed, binned, camera, bg, cfg)
     return (out, binned) if return_binned else out
 
 
@@ -205,9 +228,9 @@ def blend_binned_tiled(
     packed: jnp.ndarray, binned: BinnedView,
     camera: Camera, bg: jnp.ndarray, cfg: RasterizeConfig,
 ) -> RenderOutput:
-    """Composite from an existing binning. `packed` is either
-    `binned.packed` (first render) or `binned.repack_colors(...)` output
-    (re-render of the same geometry with new colors)."""
+    """Composite from an existing binning. `packed` comes from `bin_view`
+    (first render) or `repack_from_binned` (re-render of the same geometry
+    with new colors)."""
     win_gidx, entry_valid = binned.win_gidx, binned.entry_valid
 
     # one bulk row gather: [T, K, 13]

@@ -200,7 +200,9 @@ def test_group_att_block_parity(rng):
     sd["vol_decoder.deconv.bias"] = torch.zeros(8)
     full = convert_network_state_dict(_fill_min(sd, rng), num_layers=1,
                                       encoder_depth=1)
-    params = full["vol_decoder"]["layer0"]
+    # scanned-stack layout: leading layer axis on every leaf
+    params = jax.tree.map(lambda a: a[0],
+                          full["vol_decoder"]["layers"]["block"])
 
     fm = GroupAttBlock(inner_dim=E, num_heads=H, cond_dim=KD, block_size=BS,
                        dtype=F32)

@@ -16,9 +16,12 @@ Usage:  python tools/profile_binning.py [--views 8]
 
 import argparse
 import functools
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def slope_time(fn, args, r1, r2, fetch, trials=3):
