@@ -160,12 +160,27 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     packed14 = take_rows(pack14, order_v, inv_order)
     packed = packed14[:, :PACK_COLS]
     bounds_v = packed14[:, PACK_COLS].astype(jnp.int32)          # [V]
-    n = v
 
+    if cfg.bin_mode == "count":
+        win_gidx, entry_valid, counts = _windows_count(bounds_v, cfg)
+    else:
+        win_gidx, entry_valid, counts = _windows_sort(bounds_v, cfg)
+    return packed, BinnedView(order_v=order_v, inv_order=inv_order,
+                              win_gidx=win_gidx, entry_valid=entry_valid,
+                              counts=counts)
+
+
+def _unpack_bounds(bounds_v: jnp.ndarray):
     b = _BOUND_BITS
     mask = (1 << b) - 1
-    tx_lo, ty_lo = bounds_v & mask, (bounds_v >> b) & mask
-    tx_hi, ty_hi = (bounds_v >> (2 * b)) & mask, (bounds_v >> (3 * b)) & mask
+    return (bounds_v & mask, (bounds_v >> b) & mask,
+            (bounds_v >> (2 * b)) & mask, (bounds_v >> (3 * b)) & mask)
+
+
+def _windows_sort(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
+    """Tile windows via one stable 9V-key sort + searchsorted + slicing."""
+    n = bounds_v.shape[0]
+    tx_lo, ty_lo, tx_hi, ty_hi = _unpack_bounds(bounds_v)
 
     d = cfg.dup
     si = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0).reshape(-1)
@@ -201,9 +216,103 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
     counts = jnp.minimum(counts, k_budget)
     entry_valid = jnp.arange(k_budget, dtype=jnp.int32)[None, :] < counts[:, None]
-    return packed, BinnedView(order_v=order_v, inv_order=inv_order,
-                              win_gidx=win_gidx, entry_valid=entry_valid,
-                              counts=counts)
+    return win_gidx, entry_valid, counts
+
+
+_COUNT_CHUNK = 512   # surfels per counting-sort scan step
+_COUNT_UNROLL = 4    # scan unroll (amortizes XLA while-loop step overhead)
+
+
+def _windows_count(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
+    """Counting-sort tile windows: no 9V-key sort, no searchsorted, no
+    window re-gather.
+
+    The surfels arrive depth-compacted, so a surfel's in-tile rank equals
+    the number of *earlier* surfels claiming the same tile — an exclusive
+    prefix sum over the depth axis of the [V, T] tile-membership matrix.
+    That cumsum runs on the MXU as blocked strictly-lower-triangular
+    matmuls (bf16 one-hot inputs, exact f32 accumulation; counts < 2^24):
+    chunks of C surfels build their membership block [C, T] from the
+    bit-packed tile rectangles (separable row/column interval tests),
+    Ltri @ M gives in-chunk exclusive ranks, and a carried per-tile total
+    extends them globally. V·C·T MACs total — at the production workload
+    (V=131072, C=512, T=1024) that is ~69 GFLOP ≈ 0.35 ms of MXU time vs
+    ~3.4 ms for the 9V-key radix-style lax.sort it replaces.
+
+    Each (surfel, claimed tile) pair then knows its window slot outright:
+    entry k of tile t is the surfel with rank k — ONE unique-index scatter
+    of the ≤ dup²·V slot positions fills win_gidx [T, K] directly.
+    Entries with rank ≥ K (beyond the tile budget) drop, exactly like the
+    sort path's window clamp; the depth order within every tile is
+    identical to the stable sort's.
+    """
+    v = bounds_v.shape[0]
+    t_total = cfg.num_tiles
+    k_budget = cfg.tile_budget
+    c = min(_COUNT_CHUNK, v)
+    pad = (-v) % c
+    if pad:
+        # padded rows carry the empty rectangle (lo > hi): they claim no
+        # tile, rank nothing, scatter nothing
+        bounds_v = jnp.concatenate(
+            [bounds_v, jnp.full((pad,), (1 << _BOUND_BITS) - 1, jnp.int32)])
+    vp = v + pad
+    tx_lo, ty_lo, tx_hi, ty_hi = _unpack_bounds(bounds_v)
+
+    d = cfg.dup
+    si = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0).reshape(-1)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1).reshape(-1)
+    tx_iota = jnp.arange(cfg.tiles_x, dtype=jnp.int32)
+    ty_iota = jnp.arange(cfg.tiles_y, dtype=jnp.int32)
+    ltri = jnp.tril(jnp.ones((c, c), jnp.bfloat16), k=-1)
+
+    def chunk_ranks(carry, xs):
+        txl, tyl, txh, tyh = xs                               # each [C]
+        rx = ((tx_iota[None, :] >= txl[:, None])
+              & (tx_iota[None, :] <= txh[:, None]))           # [C, TX]
+        ry = ((ty_iota[None, :] >= tyl[:, None])
+              & (ty_iota[None, :] <= tyh[:, None]))           # [C, TY]
+        m = (ry[:, :, None] & rx[:, None, :]).reshape(c, t_total)
+        mb = m.astype(jnp.bfloat16)
+        excl = jax.lax.dot_general(                           # [C, T] f32
+            ltri, mb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rank = carry[None, :] + excl
+        # inclusive total of this chunk = last exclusive row + last row
+        new_carry = rank[-1] + mb[-1].astype(jnp.float32)
+        # per-slot tile ids + ranks for this chunk's surfels
+        tx = txl[:, None] + sj[None, :]                       # [C, D2]
+        ty = tyl[:, None] + si[None, :]
+        slot_ok = (tx <= txh[:, None]) & (ty <= tyh[:, None])
+        tid = ty * cfg.tiles_x + tx
+        r_at = jnp.take_along_axis(
+            rank, jnp.clip(tid, 0, t_total - 1), axis=1)      # [C, D2]
+        return new_carry, (r_at.astype(jnp.int32),
+                           jnp.where(slot_ok, tid, t_total))
+
+    shape_c = (vp // c, c)
+    counts_f, (ranks, tids) = jax.lax.scan(
+        chunk_ranks, jnp.zeros((t_total,), jnp.float32),
+        tuple(a.reshape(shape_c) for a in (tx_lo, ty_lo, tx_hi, ty_hi)),
+        unroll=min(_COUNT_UNROLL, vp // c))
+    ranks = ranks.reshape(vp, d * d)
+    tids = tids.reshape(vp, d * d)
+
+    ok = (tids < t_total) & (ranks < k_budget)
+    flat_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (vp, d * d), 0) * (d * d) + jax.lax.broadcasted_iota(
+        jnp.int32, (vp, d * d), 1)
+    # dropped slots get DISTINCT out-of-bounds positions so the scatter's
+    # unique_indices promise holds for every index, kept or dropped
+    pos = jnp.where(ok, tids * k_budget + ranks, t_total * k_budget + flat_iota)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (vp, d * d), 0)
+    win_gidx = jnp.zeros((t_total * k_budget,), jnp.int32).at[
+        pos.reshape(-1)].set(gidx.reshape(-1), mode="drop",
+                             unique_indices=True).reshape(t_total, k_budget)
+    counts = jnp.minimum(counts_f.astype(jnp.int32), k_budget)
+    entry_valid = (jnp.arange(k_budget, dtype=jnp.int32)[None, :]
+                   < counts[:, None])
+    return win_gidx, entry_valid, counts
 
 
 def repack_from_binned(g: ProjectedSurfels, binned: BinnedView) -> jnp.ndarray:

@@ -56,6 +56,17 @@ class RasterizeConfig:
     dist_far: float = 100.0
     filter2d_invsq: float = 2.0
     backend: str = "tiled"  # "tiled" | "reference" | "pallas"
+    # Tile-window construction algorithm ("sort" | "count"):
+    #   sort:  one stable 9V-key lax.sort + searchsorted + window slicing
+    #          (round-1/2 production path);
+    #   count: counting sort — per-(surfel, tile) depth ranks via blocked
+    #          strictly-lower-triangular matmul cumsum over the tile
+    #          membership matrix (MXU, exact f32 accumulation) and ONE
+    #          unique-index scatter straight into the [T, K] windows.
+    #          Identical output (both orders are depth-stable); the CUDA
+    #          reference's radix sort (SURVEY §2.3 step 3) has no MXU to
+    #          lean on — this is the TPU-shaped replacement.
+    bin_mode: str = "sort"
 
     def __post_init__(self):
         assert self.height % self.tile == 0 and self.width % self.tile == 0, (

@@ -438,3 +438,69 @@ def test_radius_overflow_counter_and_truncation_bound():
     psnr = -10 * np.log10(np.mean(err ** 2) + 1e-12)
     # truncation loses the far tails only; the bulk must still match
     assert psnr > 20, f"big-splat truncation error too large: {psnr:.1f} dB"
+
+
+class TestCountingSortBinning:
+    """bin_mode="count" (MXU counting-sort windows) must reproduce
+    bin_mode="sort" exactly: both orders are depth-stable, so win_gidx,
+    counts, and every render output are bit-identical."""
+
+    def _windows(self, n, seed, **cfg_kw):
+        from lara_tpu.ops.rasterizer.preprocess import preprocess_surfels
+        from lara_tpu.ops.rasterizer.tiled import bin_view
+
+        cam = front_camera()
+        means, shs, op, scales, quats = random_scene(
+            jax.random.PRNGKey(seed), n)
+        outs = {}
+        for mode in ("sort", "count"):
+            cfg = make_cfg(bin_mode=mode, **cfg_kw)
+            g = preprocess_surfels(means, shs, op, scales, quats, cam, cfg)
+            outs[mode] = bin_view(g, cfg)
+        return outs["sort"], outs["count"]
+
+    @pytest.mark.parametrize("n,kw", [
+        (400, {}),                                  # single chunk
+        (700, {"tile_budget": 8}),                  # pad + budget overflow
+        (900, {"visible_budget": 640}),             # compaction truncation
+    ])
+    def test_windows_identical(self, n, kw):
+        (pa, a), (pb, b) = self._windows(n, seed=3 + n, **kw)
+        np.testing.assert_array_equal(np.asarray(a.counts),
+                                      np.asarray(b.counts))
+        np.testing.assert_array_equal(np.asarray(a.entry_valid),
+                                      np.asarray(b.entry_valid))
+        ev = np.asarray(a.entry_valid)
+        np.testing.assert_array_equal(np.asarray(a.win_gidx)[ev],
+                                      np.asarray(b.win_gidx)[ev])
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        assert ev.sum() > 50  # the scenes must actually exercise windows
+
+    def test_render_identical(self):
+        cam = front_camera()
+        means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(7), 500)
+        bg = jnp.array([0.2, 0.8, 0.1])
+        a = rasterize_tiled(means, shs, op, scales, quats, cam, bg,
+                            make_cfg(bin_mode="sort"))
+        b = rasterize_tiled(means, shs, op, scales, quats, cam, bg,
+                            make_cfg(bin_mode="count"))
+        np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+        np.testing.assert_array_equal(np.asarray(a.depth_expected),
+                                      np.asarray(b.depth_expected))
+
+    def test_gradients_identical(self):
+        cam = front_camera()
+        means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(9), 300)
+        bg = jnp.zeros(3)
+
+        def loss(mode, m, o):
+            cfg = make_cfg(bin_mode=mode)
+            out = rasterize_tiled(m, shs, o, scales, quats, cam, bg, cfg)
+            return (out.image.sum() + out.alpha.sum()
+                    + out.depth_expected.sum())
+
+        ga = jax.grad(lambda m, o: loss("sort", m, o), argnums=(0, 1))(means, op)
+        gb = jax.grad(lambda m, o: loss("count", m, o), argnums=(0, 1))(means, op)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
