@@ -176,9 +176,13 @@ class LaRaNet(nn.Module):
             view_mask = jnp.broadcast_to(view_mask.reshape(-1, n_in)[:1],
                                          (B, n_in))
 
-        imgs = tar_rgb[:, :n_in].reshape(B * n_in, H, W, 3)
+        from lara_tpu.parallel import tp
+
+        # the encode → feat-vol prefix is per-view: tp shards it over views
+        imgs = tp.shard_views(tar_rgb[:, :n_in].reshape(B * n_in, H, W, 3))
         rays_down = batch["tar_rays_down"][:, :n_in]
-        rays_down = rays_down.reshape(B * n_in, *rays_down.shape[2:])
+        rays_down = tp.shard_views(
+            rays_down.reshape(B * n_in, *rays_down.shape[2:]))
         feats = self.encode_images(imgs, rays_down)
 
         w2cs = batch["tar_w2c"][:, :n_in].reshape(-1, 4, 4)
@@ -186,6 +190,8 @@ class LaRaNet(nn.Module):
         feat_vol = self.build_feat_vol(feats, w2cs, ixts, (H, W))  # [BV,D,D,D,C]
         reso = m.vol_feat_reso
         feat_vol = feat_vol.reshape(B, n_in, reso, reso, reso, -1)
+        # cross-view from here (KV grouping concatenates views) → back to dp
+        feat_vol = tp.shard_batch_dim(feat_vol)
 
         if m.view_embed_dim > 0:
             ve = jnp.broadcast_to(

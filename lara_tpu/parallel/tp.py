@@ -47,6 +47,20 @@ def shard_groups(x):
     return jax.lax.with_sharding_constraint(x, NamedSharding(_TP_MESH, spec))
 
 
+def shard_views(x):
+    """Constrain a [B·V, ...] per-view tensor: rows split over (dp, tp) —
+    dp keeps whole scenes, tp splits each scene's input views. The ViT
+    encoder, direction modulation, and per-view voxel sampling are all
+    embarrassingly parallel over views (no cross-view op until the volume
+    transformer's KV grouping), so the whole encode→feat-vol prefix runs
+    tp-sharded; the reference has no model parallelism at all (DDP only,
+    train_lightning.py:68-72)."""
+    if _TP_MESH is None:
+        return x
+    spec = P(("dp", "tp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_TP_MESH, spec))
+
+
 def shard_batch_dim(x):
     """Constrain a [B, ...] per-scene tensor to dp only (replicated over tp)
     — the layout the cross-group conv and the rasterizer consume."""
