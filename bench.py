@@ -100,7 +100,8 @@ def bench_rasterizer():
         tile_chunk=r.tile_chunk, sh_degree=1,
         visible_budget=r.visible_budget,
         pallas_chunk=min(r.pallas_chunk, r.tile_budget),
-        pallas_tiles_per_step=r.pallas_tiles_per_step, backend="pallas")
+        pallas_tiles_per_step=r.pallas_tiles_per_step, backend="pallas",
+        bin_mode=os.environ.get("LARA_BIN_MODE", r.bin_mode))
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)

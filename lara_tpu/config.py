@@ -73,6 +73,9 @@ class RenderConfig:
     # tile_budget 128) and tiles per grid step
     pallas_chunk: int = 64
     pallas_tiles_per_step: int = 4
+    # tile-window construction: "sort" (9V-key lax.sort) or "count"
+    # (MXU counting sort) — see RasterizeConfig.bin_mode
+    bin_mode: str = "sort"
 
 
 @dataclasses.dataclass(frozen=True)

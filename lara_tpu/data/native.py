@@ -24,6 +24,14 @@ def _load():
     path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                         "liblara_native.so")
     path = os.path.abspath(path)
+    if not os.path.exists(path):
+        # first-use build (the .so is not checked in): one small TU, ~1 s
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            pass  # no toolchain → numpy fallbacks
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         f32p = ctypes.POINTER(ctypes.c_float)

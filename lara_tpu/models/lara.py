@@ -105,7 +105,7 @@ class LaRaNet(nn.Module):
             visible_budget=r.visible_budget if train else r.eval_visible_budget,
             pallas_chunk=min(r.pallas_chunk, budget),
             pallas_tiles_per_step=r.pallas_tiles_per_step,
-            backend=backend)
+            backend=backend, bin_mode=r.bin_mode)
 
     def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
         """imgs [BV, H, W, 3], rays_down [BV, h, w, 6] (h = H/16) →

@@ -316,6 +316,47 @@ def main():
         fused_binning_1, (g0,), 10, 40, lambda o: float(o[0][0, 0, 0]),
         a.trials)
 
+    # ---- C. sort vs counting-sort window construction ---------------------
+    from lara_tpu.ops.rasterizer.tiled import (_pack_tile_bounds,
+                                               _windows_count, _windows_sort,
+                                               bin_view)
+
+    @jax.jit
+    def stage_bounds_v(g, order):
+        return _pack_tile_bounds(g, cfg)[order]
+
+    bv0 = jax.block_until_ready(stage_bounds_v(g0, order0))
+    wsort = jax.jit(functools.partial(_windows_sort, cfg=cfg))
+    wcount = jax.jit(functools.partial(_windows_count, cfg=cfg))
+    ws0 = jax.block_until_ready(wsort(bv0))
+    wc0 = jax.block_until_ready(wcount(bv0))
+    ev = np.asarray(ws0[1])
+    assert np.array_equal(np.asarray(ws0[0])[ev], np.asarray(wc0[0])[ev]), (
+        "count-mode windows diverge from sort-mode")
+    res["windows_sort_1"] = slope_time(wsort, (bv0,), 10, 40,
+                                       lambda o: int(o[2][0]), a.trials)
+    res["windows_count_1"] = slope_time(wcount, (bv0,), 10, 40,
+                                        lambda o: int(o[2][0]), a.trials)
+
+    bs_wsort = jax.jit(jax.vmap(wsort))
+    bs_wcount = jax.jit(jax.vmap(wcount))
+    bv_b = jax.block_until_ready(jax.jit(jax.vmap(stage_bounds_v))(g_b, order_b))
+    jax.block_until_ready(bs_wsort(bv_b))
+    jax.block_until_ready(bs_wcount(bv_b))
+    res[f"windows_sort_b{NV}"] = slope_time(bs_wsort, (bv_b,), 5, 20,
+                                            lambda o: int(o[2][0, 0]), a.trials)
+    res[f"windows_count_b{NV}"] = slope_time(bs_wcount, (bv_b,), 5, 20,
+                                             lambda o: int(o[2][0, 0]), a.trials)
+
+    import dataclasses as _dc
+    for mode in ("sort", "count"):
+        cfg_m = _dc.replace(cfg, bin_mode=mode)
+        f = jax.jit(lambda c, cfgm=cfg_m: bin_view(
+            preprocess_surfels(means, shs, op, sc, qn, c, cfgm), cfgm))
+        jax.block_until_ready(f(cam0))
+        res[f"bin_view_{mode}_1"] = slope_time(
+            f, (cam0,), 10, 40, lambda o: int(o[1].counts[0]), a.trials)
+
     per_view = {k: (v / NV if k.endswith(f"b{NV}") and isinstance(v, float)
                     else None) for k, v in res.items()}
     print(f"{'stage':24s} {'ms':>9s} {'ms/view':>9s}")
