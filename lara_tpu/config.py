@@ -42,6 +42,10 @@ class ModelConfig:
     ckpt_path: Optional[str] = None
     scene_size: float = 0.5
     remat: bool = True  # rematerialize encoder/transformer blocks (memory)
+    # remat FLOPs/HBM trade inside each layer boundary (models/remat.py):
+    # "full" recomputes everything; "dots" saves MXU outputs and recomputes
+    # only elementwise ops (faster backward, + per-layer activation HBM)
+    remat_policy: str = "full"
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by

@@ -67,7 +67,7 @@ class LaRaNet(nn.Module):
         self.img_encoder = DinoViT(
             patch_size=m.patch_size, dim=m.encoder_dim, depth=m.encoder_depth,
             num_heads=m.encoder_heads, dtype=self.dtype, remat=m.remat,
-            name="img_encoder")
+            remat_policy=m.remat_policy, name="img_encoder")
         self.dir_norm = ModLN(m.encoder_dim, dtype=self.dtype, name="dir_norm")
         if m.view_embed_dim > 0:
             self.view_embed = self.param(
@@ -80,7 +80,8 @@ class LaRaNet(nn.Module):
             vol_low_res=m.vol_embedding_reso,
             out_dim=m.vol_embedding_out_dim,
             n_groups=m.n_groups, num_layers=m.num_layers, num_heads=m.num_heads,
-            dtype=self.dtype, remat=m.remat, name="vol_decoder")
+            dtype=self.dtype, remat=m.remat, remat_policy=m.remat_policy,
+            name="vol_decoder")
         self.sh_dim = (m.sh_degree + 1) ** 2 * 3
         self.decoder_coarse = CoarseDecoder(
             in_dim=m.vol_embedding_out_dim, sh_dim=self.sh_dim, K=m.K,

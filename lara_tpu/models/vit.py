@@ -57,10 +57,13 @@ class _ScanViTBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, _):
-        cls = nn.remat(ViTBlock) if self.remat else ViTBlock
+        from lara_tpu.models.remat import remat_policy
+        cls = (nn.remat(ViTBlock, policy=remat_policy(self.remat_policy))
+               if self.remat else ViTBlock)
         x = cls(self.dim, self.num_heads, dtype=self.dtype, name="block")(x)
         return x, None
 
@@ -74,6 +77,7 @@ class DinoViT(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True          # rematerialize block activations (B=3 at 512²
                                 # otherwise exceeds v5e HBM by ~2GB)
+    remat_policy: str = "full"  # see lara_tpu/models/remat.py
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +118,8 @@ class DinoViT(nn.Module):
             split_rngs={"params": True}, in_axes=nn.broadcast,
             length=self.depth)
         x, _ = scan(self.dim, self.num_heads, dtype=self.dtype,
-                    remat=self.remat, name="blocks")(x, None)
+                    remat=self.remat, remat_policy=self.remat_policy,
+                    name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS
 

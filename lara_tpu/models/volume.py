@@ -147,11 +147,14 @@ class _ScanLayer(nn.Module):
     mlp_ratio: float = 2.0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, cond_pack):
+        from lara_tpu.models.remat import remat_policy
         cond, mask = cond_pack
-        cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock
+        cls = (nn.remat(GroupAttBlock, policy=remat_policy(self.remat_policy))
+               if self.remat else GroupAttBlock)
         x = cls(inner_dim=self.inner_dim, num_heads=self.num_heads,
                 cond_dim=self.cond_dim, block_size=self.block_size,
                 mlp_ratio=self.mlp_ratio, dtype=self.dtype,
@@ -172,6 +175,7 @@ class VolTransformer(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, image_feats: jnp.ndarray, view_mask=None) -> jnp.ndarray:
@@ -205,6 +209,7 @@ class VolTransformer(nn.Module):
                 inner_dim=self.embed_dim, num_heads=self.num_heads,
                 cond_dim=self.image_feat_dim, block_size=block_sizes[0],
                 dtype=self.dtype, remat=self.remat,
+                remat_policy=self.remat_policy,
                 name="layers")(x, (image_feats, view_mask))
         else:
             block_cls = nn.remat(GroupAttBlock) if self.remat else GroupAttBlock

@@ -235,3 +235,34 @@ def test_rand_views_slice_matches_mask():
             np.testing.assert_allclose(
                 np.asarray(out_slice[k]), np.asarray(out_mask[k]),
                 atol=2e-5, err_msg=f"{k} @ n_sel={n_sel}")
+
+
+def test_remat_policy_dots_matches_full():
+    """remat_policy changes the backward's memory/FLOPs trade, never the
+    math: loss and gradients must match the full-remat default."""
+    import dataclasses
+
+    batch = synthetic_batch(B=1, n_views=2, H=64, W=64)
+
+    def loss_and_grads(policy):
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat_policy=policy))
+        net = LaRaNet(cfg)
+        params = net.init(jax.random.PRNGKey(0), batch, with_fine=False,
+                          train=False)
+
+        def loss_fn(p):
+            out = net.apply(p, batch, with_fine=False, train=True)
+            return jnp.mean((out["image"] - batch["tar_rgb"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return float(loss), grads
+
+    l_full, g_full = loss_and_grads("full")
+    l_dots, g_dots = loss_and_grads("dots")
+    np.testing.assert_allclose(l_dots, l_full, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_full, g_dots)
