@@ -41,6 +41,10 @@ PACK_COLS = 13
 
 
 def _dotf(a, b):
+    if b.ndim == 3:
+        # per-tile 2D dots (Mosaic's MXU path wants plain 2D matmuls;
+        # the batch extent is the static tiles_per_step — tiny unroll)
+        return jnp.stack([_dotf(a, b[i]) for i in range(b.shape[0])])
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -65,11 +69,15 @@ class _TileConsts(NamedTuple):
 
 
 def _tile_consts(t, scalars_ref, cfg: RasterizeConfig) -> _TileConsts:
+    """Per-tile constants. `t` is a scalar tile id (px/py/dx/dy come out
+    [1, P]) or a [tpg] vector (batched kernels; [tpg, 1, P])."""
     p = cfg.tile * cfg.tile
     c = cfg.pallas_chunk
     tanx, tany = scalars_ref[0], scalars_ref[1]
     ty = (t // cfg.tiles_x).astype(jnp.float32)
     tx = (t % cfg.tiles_x).astype(jnp.float32)
+    if jnp.ndim(t) == 1:
+        ty, tx = ty[:, None, None], tx[:, None, None]
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     pi = (pid // cfg.tile).astype(jnp.float32)
     pj = (pid % cfg.tile).astype(jnp.float32)
@@ -99,7 +107,7 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     t_run, a_run, m1_run, m2_run = carry
 
     def col(c):
-        return rows[:, c:c + 1]
+        return rows[..., c:c + 1]
 
     cx, cy_, cz = col(0), col(1), col(2)
     au0, au1, au2 = col(3), col(4), col(5)
@@ -149,7 +157,7 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     w = jnp.where(live, alpha * t_excl, 0.0)
 
     def ssum(x):
-        return jnp.sum(x, 0, keepdims=True)
+        return jnp.sum(x, -2, keepdims=True)
 
     img_r, img_g, img_b = ssum(w * rr), ssum(w * gg), ssum(w * bb)
     a_add = ssum(w)
@@ -175,9 +183,10 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     return new_carry, partials, aux
 
 
-def _init_carry(p):
-    zero = jnp.zeros((1, p), jnp.float32)
-    return (jnp.ones((1, p), jnp.float32), zero, zero, zero)
+def _init_carry(p, tpg=None):
+    shape = (1, p) if tpg is None else (tpg, 1, p)
+    zero = jnp.zeros(shape, jnp.float32)
+    return (jnp.ones(shape, jnp.float32), zero, zero, zero)
 
 
 def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
@@ -228,6 +237,110 @@ def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
         t = pl.program_id(0) * tpg + ts
         _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
                       cfg)
+
+
+def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref, *,
+                        cfg: RasterizeConfig, tpg: int):
+    """All `tpg` tiles of the grid step share ONE chunk while_loop: the
+    rank-polymorphic _chunk_fn runs on [tpg, C, P] tensors, so the
+    sequential loop-iteration count drops by tpg; a tile that exhausted
+    its own entries (evalid) or saturated (live) contributes exactly zero
+    while the others finish — identical outputs."""
+    p = cfg.tile * cfg.tile
+    chunk = cfg.pallas_chunk
+    blk = pl.program_id(0)
+    t0 = blk * tpg
+    n_b = jnp.stack([jnp.minimum(counts_ref[t0 + i], cfg.tile_budget)
+                     for i in range(tpg)]).reshape(tpg, 1, 1)
+    tvec = t0 + jax.lax.broadcasted_iota(jnp.int32, (tpg, 1, 1), 0)
+    tc = _tile_consts(tvec, scalars_ref, cfg)
+    zero = jnp.zeros((tpg, 1, p), jnp.float32)
+
+    def body(state):
+        ci, carry, acc, med = state
+        k0 = ci * chunk
+        rows = entries_ref[:, pl.ds(k0, chunk), :]             # [tpg, C, 13]
+        new_carry, partials, (t_excl, w, depth) = _chunk_fn(
+            rows, carry, k0, n_b, tc, cfg)
+        acc = tuple(a + pa for a, pa in zip(acc, partials))
+        mmask = (t_excl > 0.5) & (w > 0.0)
+        midx = jnp.max(jnp.where(mmask, tc.kk, -1), -2, keepdims=True)
+        dsel = jnp.sum((tc.kk == midx).astype(jnp.float32) * depth, -2,
+                       keepdims=True)
+        med = jnp.where(midx >= 0, dsel, med)
+        return ci + 1, new_carry, acc, med
+
+    def cond(state):
+        ci, carry = state[0], state[1]
+        tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
+        alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
+        return jnp.any(alive)
+
+    init = (jnp.int32(0), _init_carry(p, tpg),
+            tuple(zero for _ in range(9)), zero)
+    _, _, acc, med = jax.lax.while_loop(cond, body, init)
+    img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
+    chans = (img_r, img_g, img_b, a_acc, dsum, med, nx, ny, nz, dist)
+    for c, arr in enumerate(chans):
+        out_ref[:, c, :] = arr[:, 0, :]
+
+
+def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
+                        grad_ref, carry_scr, *, cfg: RasterizeConfig,
+                        tpg: int):
+    """Batched counterpart of _bwd_one_tile: one shared replay while_loop
+    + one reverse fori_loop for all tpg tiles. Chunks past a tile's own
+    early exit produce exactly-zero d_rows (w == 0 cuts every gradient
+    path), so replaying to the block-wide max chunk count changes
+    nothing."""
+    p = cfg.tile * cfg.tile
+    chunk = cfg.pallas_chunk
+    k_budget = cfg.tile_budget
+    blk = pl.program_id(0)
+    t0 = blk * tpg
+    n_b = jnp.stack([jnp.minimum(counts_ref[t0 + i], k_budget)
+                     for i in range(tpg)]).reshape(tpg, 1, 1)
+    tvec = t0 + jax.lax.broadcasted_iota(jnp.int32, (tpg, 1, 1), 0)
+    tc = _tile_consts(tvec, scalars_ref, cfg)
+
+    grad_ref[:, :, :] = jnp.zeros((tpg, k_budget, PACK_COLS), jnp.float32)
+
+    def fbody(state):
+        ci, carry = state
+        for j in range(4):
+            carry_scr[ci, :, j, :] = carry[j][:, 0, :]
+        rows = entries_ref[:, pl.ds(ci * chunk, chunk), :]
+        new_carry, _, _ = _chunk_fn(rows, carry, ci * chunk, n_b, tc, cfg)
+        return ci + 1, new_carry
+
+    def fcond(state):
+        ci, carry = state
+        tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
+        alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
+        return jnp.any(alive)
+
+    n_done, _ = jax.lax.while_loop(fcond, fbody,
+                                   (jnp.int32(0), _init_carry(p, tpg)))
+
+    cot = tuple(cot_ref[:, c, :][:, None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
+
+    def bbody(ci_rev, d_carry):
+        ci = n_done - 1 - ci_rev
+        k0 = ci * chunk
+        rows = entries_ref[:, pl.ds(k0, chunk), :]
+        carry = tuple(carry_scr[ci, :, j, :][:, None, :] for j in range(4))
+
+        def f(r, c):
+            new_carry, partials, _ = _chunk_fn(r, c, k0, n_b, tc, cfg)
+            return new_carry, partials
+
+        _, vjp_fn = jax.vjp(f, rows, carry)
+        d_rows, d_carry_in = vjp_fn((d_carry, cot))
+        grad_ref[:, pl.ds(k0, chunk), :] = d_rows
+        return d_carry_in
+
+    zero = jnp.zeros((tpg, 1, p), jnp.float32)
+    jax.lax.fori_loop(0, n_done, bbody, (zero, zero, zero, zero))
 
 
 def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
@@ -306,8 +419,11 @@ def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
                                lambda t, *_: (t, 0, 0))],
         out_specs=pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
     )
+    kern = (functools.partial(_fwd_kernel_batched, cfg=cfg, tpg=tpg)
+            if cfg.pallas_batch_tiles and tpg > 1
+            else functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32),
     )(counts, scalars, entries)
@@ -327,11 +443,16 @@ def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
         ],
         out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((max_chunks, 4, p), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            ((max_chunks, tpg, 4, p) if cfg.pallas_batch_tiles and tpg > 1
+             else (max_chunks, 4, p)), jnp.float32)],
     )
 
+    kern = (functools.partial(_bwd_kernel_batched, cfg=cfg, tpg=tpg)
+            if cfg.pallas_batch_tiles and tpg > 1
+            else functools.partial(_bwd_kernel, cfg=cfg, tpg=tpg))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg, tpg=tpg),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
                                        jnp.float32),

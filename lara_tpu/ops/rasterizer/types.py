@@ -49,6 +49,13 @@ class RasterizeConfig:
     # overhead; must divide the tile count).
     pallas_chunk: int = 32
     pallas_tiles_per_step: int = 4
+    # Batch the per-step tiles into ONE chunk while_loop (vmapped chunk
+    # math, shared exit test) instead of one loop per tile: divides the
+    # sequential loop-iteration count — the scalar-core sync overhead —
+    # by tiles_per_step, at the cost of early-exiting only when ALL
+    # grouped tiles are done. Identical outputs/gradients (dead tiles
+    # contribute exactly zero through the same live/evalid masks).
+    pallas_batch_tiles: bool = False
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4
     near_cull: float = 0.2

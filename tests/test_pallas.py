@@ -132,3 +132,51 @@ def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg):
     g_p = jax.grad(lambda m: loss(rasterize_pallas, cfg, m))(means)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_t),
                                atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("budget", [64, 16])
+def test_batched_tile_loop_matches_per_tile(monkeypatch, budget):
+    """pallas_batch_tiles=True (one shared chunk loop per grid step) must
+    reproduce the per-tile-loop kernels exactly — outputs AND gradients:
+    tiles past their own early exit contribute identically-zero terms."""
+    import dataclasses
+
+    pb, orig, patched = _pallas_interpret()
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
+
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(11), 300)
+    bg = jnp.array([0.6, 0.3, 0.1])
+
+    def run(batch_tiles, m, o):
+        cfg = make_cfg(tile_budget=budget, dup=2, backend="pallas",
+                       pallas_chunk=min(32, budget),
+                       pallas_batch_tiles=batch_tiles)
+        out = rasterize_pallas(m, shs, o, scales, quats, cam, bg, cfg)
+        return out
+
+    a = run(False, means, op)
+    b = run(True, means, op)
+    for name, fa, fb in zip(a._fields, a, b):
+        if name == "distortion":
+            # XLA reassociates the distortion polynomial (FMA fusion)
+            # differently between the two kernel graphs — everything else
+            # is bitwise identical
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       atol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    def loss(batch_tiles, m, o):
+        out = run(batch_tiles, m, o)
+        return (out.image.sum() + out.alpha.sum() + out.distortion.sum()
+                + out.depth_expected.sum() + out.normal.sum())
+
+    ga = jax.grad(lambda m, o: loss(False, m, o), argnums=(0, 1))(means, op)
+    gb = jax.grad(lambda m, o: loss(True, m, o), argnums=(0, 1))(means, op)
+    for x, y in zip(ga, gb):
+        # distortion-polynomial reassociation (see above) reaches the
+        # gradients through its vjp — tolerance instead of equality
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
