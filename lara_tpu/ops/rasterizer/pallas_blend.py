@@ -190,8 +190,11 @@ def _init_carry(p, tpg=None):
 
 
 def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
-                  cfg: RasterizeConfig):
-    """Blend tile `t` (block-local index `ts`)."""
+                  cfg: RasterizeConfig, carr_ref=None):
+    """Blend tile `t` (block-local index `ts`). With `carr_ref`
+    (pallas_stash_carries) each chunk's carry-in is written out for the
+    replay-free backward, and the processed-chunk count goes to the extra
+    NUM_CHANNELS row of `out_ref`."""
     p = cfg.tile * cfg.tile
     chunk = cfg.pallas_chunk
     n = jnp.minimum(counts_ref[t], cfg.tile_budget)
@@ -200,6 +203,9 @@ def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
 
     def body(state):
         ci, carry, acc, med = state
+        if carr_ref is not None:
+            for j in range(4):
+                carr_ref[ts, ci, j, :] = carry[j][0]
         k0 = ci * chunk
         rows = entries_ref[ts, pl.ds(k0, chunk), :]
         new_carry, partials, (t_excl, w, depth) = _chunk_fn(rows, carry, k0, n, tc, cfg)
@@ -216,8 +222,10 @@ def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
                                jnp.max(carry[0]) >= cfg.transmittance_min)
 
     init = (jnp.int32(0), _init_carry(p), tuple(zero for _ in range(9)), zero)
-    _, _, acc, med = jax.lax.while_loop(cond, body, init)
+    n_done, _, acc, med = jax.lax.while_loop(cond, body, init)
     img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
+    if carr_ref is not None:
+        out_ref[ts, NUM_CHANNELS, :] = jnp.full((p,), 1.0) * n_done.astype(jnp.float32)
 
     out_ref[ts, 0, :] = img_r[0]
     out_ref[ts, 1, :] = img_g[0]
@@ -231,16 +239,16 @@ def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
     out_ref[ts, 9, :] = dist[0]
 
 
-def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref, *,
-                cfg: RasterizeConfig, tpg: int):
+def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref,
+                carr_ref=None, *, cfg: RasterizeConfig, tpg: int):
     for ts in range(tpg):
         t = pl.program_id(0) * tpg + ts
         _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
-                      cfg)
+                      cfg, carr_ref)
 
 
-def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref, *,
-                        cfg: RasterizeConfig, tpg: int):
+def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref,
+                        carr_ref=None, *, cfg: RasterizeConfig, tpg: int):
     """All `tpg` tiles of the grid step share ONE chunk while_loop: the
     rank-polymorphic _chunk_fn runs on [tpg, C, P] tensors, so the
     sequential loop-iteration count drops by tpg; a tile that exhausted
@@ -258,6 +266,9 @@ def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref, *,
 
     def body(state):
         ci, carry, acc, med = state
+        if carr_ref is not None:
+            for j in range(4):
+                carr_ref[:, ci, j, :] = carry[j][:, 0, :]
         k0 = ci * chunk
         rows = entries_ref[:, pl.ds(k0, chunk), :]             # [tpg, C, 13]
         new_carry, partials, (t_excl, w, depth) = _chunk_fn(
@@ -278,16 +289,19 @@ def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref, *,
 
     init = (jnp.int32(0), _init_carry(p, tpg),
             tuple(zero for _ in range(9)), zero)
-    _, _, acc, med = jax.lax.while_loop(cond, body, init)
+    n_done, _, acc, med = jax.lax.while_loop(cond, body, init)
     img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
     chans = (img_r, img_g, img_b, a_acc, dsum, med, nx, ny, nz, dist)
     for c, arr in enumerate(chans):
         out_ref[:, c, :] = arr[:, 0, :]
+    if carr_ref is not None:
+        out_ref[:, NUM_CHANNELS, :] = jnp.full(
+            (tpg, p), 1.0) * n_done.astype(jnp.float32)
 
 
 def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
                         grad_ref, carry_scr, *, cfg: RasterizeConfig,
-                        tpg: int):
+                        tpg: int, ndone_ref=None, carr_ref=None):
     """Batched counterpart of _bwd_one_tile: one shared replay while_loop
     + one reverse fori_loop for all tpg tiles. Chunks past a tile's own
     early exit produce exactly-zero d_rows (w == 0 cuts every gradient
@@ -305,22 +319,27 @@ def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
 
     grad_ref[:, :, :] = jnp.zeros((tpg, k_budget, PACK_COLS), jnp.float32)
 
-    def fbody(state):
-        ci, carry = state
-        for j in range(4):
-            carry_scr[ci, :, j, :] = carry[j][:, 0, :]
-        rows = entries_ref[:, pl.ds(ci * chunk, chunk), :]
-        new_carry, _, _ = _chunk_fn(rows, carry, ci * chunk, n_b, tc, cfg)
-        return ci + 1, new_carry
+    if carr_ref is None:
+        def fbody(state):
+            ci, carry = state
+            for j in range(4):
+                carry_scr[ci, :, j, :] = carry[j][:, 0, :]
+            rows = entries_ref[:, pl.ds(ci * chunk, chunk), :]
+            new_carry, _, _ = _chunk_fn(rows, carry, ci * chunk, n_b, tc, cfg)
+            return ci + 1, new_carry
 
-    def fcond(state):
-        ci, carry = state
-        tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
-        alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
-        return jnp.any(alive)
+        def fcond(state):
+            ci, carry = state
+            tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
+            alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
+            return jnp.any(alive)
 
-    n_done, _ = jax.lax.while_loop(fcond, fbody,
-                                   (jnp.int32(0), _init_carry(p, tpg)))
+        n_done, _ = jax.lax.while_loop(fcond, fbody,
+                                       (jnp.int32(0), _init_carry(p, tpg)))
+    else:
+        # replay-free: the forward stashed every chunk's carry-in and its
+        # processed-chunk count (same for all tiles of the block)
+        n_done = ndone_ref[t0]
 
     cot = tuple(cot_ref[:, c, :][:, None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
 
@@ -328,7 +347,10 @@ def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
         ci = n_done - 1 - ci_rev
         k0 = ci * chunk
         rows = entries_ref[:, pl.ds(k0, chunk), :]
-        carry = tuple(carry_scr[ci, :, j, :][:, None, :] for j in range(4))
+        if carr_ref is None:
+            carry = tuple(carry_scr[ci, :, j, :][:, None, :] for j in range(4))
+        else:
+            carry = tuple(carr_ref[:, ci, j, :][:, None, :] for j in range(4))
 
         def f(r, c):
             new_carry, partials, _ = _chunk_fn(r, c, k0, n_b, tc, cfg)
@@ -344,7 +366,8 @@ def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
 
 
 def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
-                  cot_ref, grad_ref, cfg: RasterizeConfig):
+                  cot_ref, grad_ref, cfg: RasterizeConfig,
+                  ndone_ref=None, carr_ref=None):
     p = cfg.tile * cfg.tile
     chunk = cfg.pallas_chunk
     k_budget = cfg.tile_budget
@@ -373,7 +396,13 @@ def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
         return jnp.logical_and(ci * chunk < n,
                                jnp.max(carry[0]) >= cfg.transmittance_min)
 
-    n_done, _ = jax.lax.while_loop(fcond, fbody, (jnp.int32(0), _init_carry(p)))
+    if carr_ref is None:
+        n_done, _ = jax.lax.while_loop(fcond, fbody,
+                                       (jnp.int32(0), _init_carry(p)))
+    else:
+        # replay-free: the forward stashed every chunk's carry-in and the
+        # processed-chunk count
+        n_done = ndone_ref[t]
 
     cot = tuple(cot_ref[ts, c, :][None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
 
@@ -381,7 +410,10 @@ def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
         ci = n_done - 1 - ci_rev
         k0 = ci * chunk
         rows = entries_ref[ts, pl.ds(k0, chunk), :]
-        carry = tuple(carry_scr[ci, j, :][None, :] for j in range(4))
+        if carr_ref is None:
+            carry = tuple(carry_scr[ci, j, :][None, :] for j in range(4))
+        else:
+            carry = tuple(carr_ref[ts, ci, j, :][None, :] for j in range(4))
 
         def f(r, c):
             new_carry, partials, _ = _chunk_fn(r, c, k0, n, tc, cfg)
@@ -408,16 +440,52 @@ def _bwd_kernel(counts_ref, scalars_ref, entries_ref, cot_ref,
                       carry_scr, cot_ref, grad_ref, cfg)
 
 
-def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
+def _bwd_kernel_stash(counts_ref, ndone_ref, scalars_ref, entries_ref,
+                      carr_ref, cot_ref, grad_ref, *,
+                      cfg: RasterizeConfig, tpg: int):
+    """Replay-free per-tile backward: chunk carry-ins come from the
+    forward's stash instead of an in-kernel replay walk."""
+    for ts in range(tpg):
+        t = pl.program_id(0) * tpg + ts
+        _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref,
+                      None, cot_ref, grad_ref, cfg,
+                      ndone_ref=ndone_ref, carr_ref=carr_ref)
+
+
+def _bwd_kernel_batched_stash(counts_ref, ndone_ref, scalars_ref,
+                              entries_ref, carr_ref, cot_ref, grad_ref, *,
+                              cfg: RasterizeConfig, tpg: int):
+    _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
+                        grad_ref, None, cfg=cfg, tpg=tpg,
+                        ndone_ref=ndone_ref, carr_ref=carr_ref)
+
+
+def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig,
+             stash: bool = False):
+    """Run the forward blend kernel. With `stash`, additionally emits the
+    per-chunk carry-ins [T, MC, 4, P] and a processed-chunk-count channel
+    (row NUM_CHANNELS of the acc output) for the replay-free backward;
+    returns (acc_with_ndone, carries) then."""
     t_tiles = cfg.num_tiles
     p = cfg.tile * cfg.tile
     tpg = _tiles_per_step(cfg)
+    max_chunks = cfg.tile_budget // cfg.pallas_chunk
+    n_ch = NUM_CHANNELS + 1 if stash else NUM_CHANNELS
+    out_specs = pl.BlockSpec((tpg, n_ch, p), lambda t, *_: (t, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((t_tiles, n_ch, p), jnp.float32)
+    if stash:
+        out_specs = [out_specs,
+                     pl.BlockSpec((tpg, max_chunks, 4, p),
+                                  lambda t, *_: (t, 0, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((t_tiles, max_chunks, 4, p),
+                                          jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles // tpg,),
         in_specs=[pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0))],
-        out_specs=pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
+        out_specs=out_specs,
     )
     kern = (functools.partial(_fwd_kernel_batched, cfg=cfg, tpg=tpg)
             if cfg.pallas_batch_tiles and tpg > 1
@@ -425,7 +493,7 @@ def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_tiles, NUM_CHANNELS, p), jnp.float32),
+        out_shape=out_shape,
     )(counts, scalars, entries)
 
 
@@ -459,6 +527,35 @@ def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
     )(counts, scalars, entries, cot)
 
 
+def _run_bwd_stash(entries, counts, ndone, scalars, carries, cot,
+                   cfg: RasterizeConfig):
+    """Replay-free backward: consumes the forward's stashed carries."""
+    t_tiles = cfg.num_tiles
+    p = cfg.tile * cfg.tile
+    max_chunks = cfg.tile_budget // cfg.pallas_chunk
+    tpg = _tiles_per_step(cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_tiles // tpg,),
+        in_specs=[
+            pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpg, max_chunks, 4, p), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((tpg, NUM_CHANNELS, p), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
+                               lambda t, *_: (t, 0, 0)),
+    )
+    kern = (functools.partial(_bwd_kernel_batched_stash, cfg=cfg, tpg=tpg)
+            if cfg.pallas_batch_tiles and tpg > 1
+            else functools.partial(_bwd_kernel_stash, cfg=cfg, tpg=tpg))
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
+                                       jnp.float32),
+    )(counts, ndone, scalars, entries, carries, cot)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def blend_tiles_pallas(entries, counts, scalars, cfg: RasterizeConfig):
     """entries [T, K, 13] depth-sorted per-tile windows; counts [T] int32;
@@ -471,6 +568,11 @@ def blend_tiles_pallas(entries, counts, scalars, cfg: RasterizeConfig):
 
 
 def _vjp_fwd(entries, counts, scalars, cfg):
+    if cfg.pallas_stash_carries:
+        acc, carries = _run_fwd(entries, counts, scalars, cfg, stash=True)
+        ndone = acc[:, NUM_CHANNELS, 0].astype(jnp.int32)
+        return acc[:, :NUM_CHANNELS], (entries, counts, scalars,
+                                       ndone, carries)
     out = _run_fwd(entries, counts, scalars, cfg)
     return out, (entries, counts, scalars)
 
@@ -481,8 +583,13 @@ def _vjp_bwd(cfg, residuals, cot):
     # renders/step would otherwise hold ~400 MB of carries alive across the
     # whole train step (measured OOM at B=3); the replay costs one extra
     # cheap fwd walk per tile, bounded by the same early exit.
-    entries, counts, scalars = residuals
-    d_entries = _run_bwd(entries, counts, scalars, cot, cfg)
+    if cfg.pallas_stash_carries:
+        entries, counts, scalars, ndone, carries = residuals
+        d_entries = _run_bwd_stash(entries, counts, ndone, scalars,
+                                   carries, cot, cfg)
+    else:
+        entries, counts, scalars = residuals
+        d_entries = _run_bwd(entries, counts, scalars, cot, cfg)
     return d_entries, None, None
 
 

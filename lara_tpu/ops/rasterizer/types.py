@@ -56,6 +56,13 @@ class RasterizeConfig:
     # grouped tiles are done. Identical outputs/gradients (dead tiles
     # contribute exactly zero through the same live/evalid masks).
     pallas_batch_tiles: bool = False
+    # Stash each chunk's carry-in (plus the processed-chunk count) as an
+    # extra forward-kernel output (~8.4 MB at the production config) so
+    # the backward kernel skips its in-kernel forward replay — trades one
+    # full forward walk per tile for a small HBM round-trip. Under the
+    # train step's per-view rematerialization the stash is a transient of
+    # the recompute+backward pair, so it never accumulates across views.
+    pallas_stash_carries: bool = False
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4
     near_cull: float = 0.2

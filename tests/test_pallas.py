@@ -134,11 +134,14 @@ def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg):
                                atol=5e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("budget", [64, 16])
-def test_batched_tile_loop_matches_per_tile(monkeypatch, budget):
-    """pallas_batch_tiles=True (one shared chunk loop per grid step) must
-    reproduce the per-tile-loop kernels exactly — outputs AND gradients:
-    tiles past their own early exit contribute identically-zero terms."""
+@pytest.mark.parametrize("budget,stash", [(64, False), (16, False),
+                                          (64, True), (16, True)])
+def test_batched_tile_loop_matches_per_tile(monkeypatch, budget, stash):
+    """pallas_batch_tiles=True (one shared chunk loop per grid step) and
+    pallas_stash_carries=True (replay-free backward) must reproduce the
+    per-tile-loop kernels exactly — outputs AND gradients: tiles past
+    their own early exit contribute identically-zero terms, and stashed
+    carries are bitwise the replayed ones."""
     import dataclasses
 
     pb, orig, patched = _pallas_interpret()
@@ -152,7 +155,8 @@ def test_batched_tile_loop_matches_per_tile(monkeypatch, budget):
     def run(batch_tiles, m, o):
         cfg = make_cfg(tile_budget=budget, dup=2, backend="pallas",
                        pallas_chunk=min(32, budget),
-                       pallas_batch_tiles=batch_tiles)
+                       pallas_batch_tiles=batch_tiles,
+                       pallas_stash_carries=stash)
         out = rasterize_pallas(m, shs, o, scales, quats, cam, bg, cfg)
         return out
 
