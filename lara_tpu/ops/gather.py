@@ -81,14 +81,47 @@ _take_rows_inv.defvjp(_take_inv_fwd, _take_inv_bwd)
 
 
 def window_gather(packed: jnp.ndarray, win_gidx: jnp.ndarray,
-                  entry_valid: jnp.ndarray, max_dup: int):
+                  entry_valid: jnp.ndarray, max_dup: int, slot_pos=None):
     """packed[win_gidx] ([V,F] × [T,K] → [T,K,F]) where every row of
     `packed` appears at most `max_dup` times among *valid* window entries
     (invalid entries must receive exactly-zero cotangents); see
-    WINDOW_MODE."""
+    WINDOW_MODE.
+
+    `slot_pos` [V, max_dup] (optional, counting-sort binning): row i's
+    flat positions i·K+rank in the window array, ≥ T·K where absent — the
+    exact inverse of the gather, known from the forward, so the transpose
+    becomes max_dup masked row gathers instead of XLA's scatter-add."""
+    if slot_pos is not None:
+        return _window_gather_slots(packed, win_gidx, slot_pos)
     if WINDOW_MODE == "xla":
         return packed[win_gidx]
     return _window_gather_lazy(packed, win_gidx, entry_valid, max_dup)
+
+
+@jax.custom_vjp
+def _window_gather_slots(packed: jnp.ndarray, win_gidx: jnp.ndarray,
+                         slot_pos: jnp.ndarray):
+    return packed[win_gidx]
+
+
+def _wgs_fwd(packed, win_gidx, slot_pos):
+    return packed[win_gidx], slot_pos
+
+
+def _wgs_bwd(slot_pos, g):
+    t, k, f = g.shape
+    g2 = g.reshape(t * k, f)
+    m = t * k
+    d = None
+    for s in range(slot_pos.shape[1]):
+        pos = slot_pos[:, s]
+        hit = (pos < m)[:, None]
+        term = jnp.where(hit, g2[jnp.minimum(pos, m - 1)], 0.0)
+        d = term if d is None else d + term
+    return d, None, None
+
+
+_window_gather_slots.defvjp(_wgs_fwd, _wgs_bwd)
 
 
 @jax.custom_vjp

@@ -45,7 +45,8 @@ def blend_binned_pallas(
     """Composite from an existing binning (packed from `bin_view` for the
     first render, or `repack_from_binned` for a re-render)."""
     entries = window_gather(packed, binned.win_gidx, binned.entry_valid,
-                            cfg.dup * cfg.dup)        # [T, K, 13]
+                            cfg.dup * cfg.dup,
+                            slot_pos=binned.slot_pos)  # [T, K, 13]
 
     scalars = jnp.stack([
         jnp.asarray(camera.tanfovx, jnp.float32).reshape(()),

@@ -62,6 +62,13 @@ class BinnedView(NamedTuple):
     win_gidx:    [T, K] per-tile entry windows (indices into packed rows).
     entry_valid: [T, K] window-entry validity.
     counts:      [T] per-tile entry counts (≤ K).
+    slot_pos:    [V, dup²] flat window position (t·K+rank) of each
+                 compacted row's tile claims, ≥ T·K where absent — the
+                 counting-sort binning knows the gather's exact inverse,
+                 so the blend's window-gather transpose becomes dup²
+                 masked row gathers instead of a 9V-row scatter-add
+                 (ops/gather.py window_gather slot_pos path). None from
+                 the sort binning.
     """
 
     order_v: jnp.ndarray
@@ -69,6 +76,7 @@ class BinnedView(NamedTuple):
     win_gidx: jnp.ndarray
     entry_valid: jnp.ndarray
     counts: jnp.ndarray
+    slot_pos: Optional[jnp.ndarray] = None
 
 
 from lara_tpu.ops.gather import take_rows, window_gather  # noqa: F401 (re-export)
@@ -162,12 +170,13 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     bounds_v = packed14[:, PACK_COLS].astype(jnp.int32)          # [V]
 
     if cfg.bin_mode == "count":
-        win_gidx, entry_valid, counts = _windows_count(bounds_v, cfg)
+        win_gidx, entry_valid, counts, slot_pos = _windows_count(bounds_v, cfg)
     else:
         win_gidx, entry_valid, counts = _windows_sort(bounds_v, cfg)
+        slot_pos = None
     return packed, BinnedView(order_v=order_v, inv_order=inv_order,
                               win_gidx=win_gidx, entry_valid=entry_valid,
-                              counts=counts)
+                              counts=counts, slot_pos=slot_pos)
 
 
 def _unpack_bounds(bounds_v: jnp.ndarray):
@@ -312,7 +321,7 @@ def _windows_count(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
     counts = jnp.minimum(counts_f.astype(jnp.int32), k_budget)
     entry_valid = (jnp.arange(k_budget, dtype=jnp.int32)[None, :]
                    < counts[:, None])
-    return win_gidx, entry_valid, counts
+    return win_gidx, entry_valid, counts, pos[:v]
 
 
 def repack_from_binned(g: ProjectedSurfels, binned: BinnedView) -> jnp.ndarray:
@@ -342,10 +351,11 @@ def blend_binned_tiled(
     with new colors)."""
     win_gidx, entry_valid = binned.win_gidx, binned.entry_valid
 
-    # one bulk row gather: [T, K, 13]
+    # one bulk row gather: [T, K, 13]; slot_pos (counting-sort binning)
+    # turns the backward into gathers
     entries = window_gather(
         packed, jax.lax.optimization_barrier(win_gidx), entry_valid,
-        cfg.dup * cfg.dup)
+        cfg.dup * cfg.dup, slot_pos=binned.slot_pos)
 
     tile = cfg.tile
     pi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)
