@@ -100,8 +100,12 @@ def bench_rasterizer():
         tile_chunk=r.tile_chunk, sh_degree=1,
         visible_budget=r.visible_budget,
         pallas_chunk=min(r.pallas_chunk, r.tile_budget),
-        pallas_tiles_per_step=r.pallas_tiles_per_step, backend="pallas",
-        bin_mode=os.environ.get("LARA_BIN_MODE", r.bin_mode))
+        pallas_tiles_per_step=int(os.environ.get(
+            "LARA_TILES_PER_STEP", r.pallas_tiles_per_step)),
+        backend="pallas",
+        bin_mode=os.environ.get("LARA_BIN_MODE", r.bin_mode),
+        pallas_batch_tiles=os.environ.get("LARA_BATCH_TILES", "") == "1",
+        pallas_stash_carries=os.environ.get("LARA_STASH", "") == "1")
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)
@@ -216,7 +220,10 @@ def main():
             "dup": cfg.dup, "tile_budget": cfg.tile_budget,
             "visible_budget": cfg.visible_budget,
             "pallas_chunk": cfg.pallas_chunk,
-            "tiles_per_step": cfg.pallas_tiles_per_step},
+            "tiles_per_step": cfg.pallas_tiles_per_step,
+            "bin_mode": cfg.bin_mode,
+            "batch_tiles": cfg.pallas_batch_tiles,
+            "stash_carries": cfg.pallas_stash_carries},
     }
     if train_step_s is not None:
         extra["train_step_s"] = round(train_step_s, 3)
