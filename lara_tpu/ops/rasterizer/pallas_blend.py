@@ -225,7 +225,9 @@ def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
     n_done, _, acc, med = jax.lax.while_loop(cond, body, init)
     img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
     if carr_ref is not None:
-        out_ref[ts, NUM_CHANNELS, :] = jnp.full((p,), 1.0) * n_done.astype(jnp.float32)
+        # rank-1 via a 2D broadcast slice (Mosaic dislikes 1D constants)
+        out_ref[ts, NUM_CHANNELS, :] = (
+            jnp.ones((1, p), jnp.float32) * n_done.astype(jnp.float32))[0]
 
     out_ref[ts, 0, :] = img_r[0]
     out_ref[ts, 1, :] = img_g[0]
