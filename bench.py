@@ -160,7 +160,17 @@ def bench_train_step():
     from lara_tpu.train.step import make_train_step
     from tests.test_model import synthetic_batch
 
+    import dataclasses
+
     cfg = Config(n_views=4)
+    # round-3 A/B levers for the flagship step (defaults = ModelConfig)
+    m = cfg.model
+    if os.environ.get("LARA_FLASH", "") == "1":
+        m = dataclasses.replace(m, flash_attn=True)
+    if os.environ.get("LARA_REMAT_POLICY", ""):
+        m = dataclasses.replace(m, remat_policy=os.environ["LARA_REMAT_POLICY"])
+    if m is not cfg.model:
+        cfg = dataclasses.replace(cfg, model=m)
     net = LaRaNet(cfg)
     B, H = 3, 512
     batch = synthetic_batch(B=B, n_views=cfg.n_views, H=H, W=H)
@@ -225,6 +235,9 @@ def main():
             "batch_tiles": cfg.pallas_batch_tiles,
             "stash_carries": cfg.pallas_stash_carries},
     }
+    for env in ("LARA_FLASH", "LARA_REMAT_POLICY"):
+        if os.environ.get(env):
+            extra[env.lower()] = os.environ[env]
     if train_step_s is not None:
         extra["train_step_s"] = round(train_step_s, 3)
         extra["train_scenes_per_sec"] = round(3.0 / train_step_s, 3)

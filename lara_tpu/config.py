@@ -46,6 +46,9 @@ class ModelConfig:
     # "full" recomputes everything; "dots" saves MXU outputs and recomputes
     # only elementwise ops (faster backward, + per-layer activation HBM)
     remat_policy: str = "full"
+    # ViT self-attention via the fused Pallas flash kernels (ops/flash.py)
+    # instead of the chunked-remat einsum path (models/attention.py q_chunk)
+    flash_attn: bool = False
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by

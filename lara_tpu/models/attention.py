@@ -37,6 +37,10 @@ class MultiHeadAttention(nn.Module):
                                    # buffers on the flagship step).
                                    # Numerically identical: softmax is over
                                    # k, so query chunks are independent.
+    use_flash: bool = False        # fused Pallas flash-attention kernels
+                                   # (ops/flash.py) instead of the einsum
+                                   # paths; fwd+bwd fully kernel-fused.
+                                   # Takes precedence over q_chunk.
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None,
@@ -62,6 +66,12 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(bq, lq, h, hd)
         k = k.reshape(bq, lk, h, hd)
         v = v.reshape(bq, lk, h, hd)
+
+        if self.use_flash:
+            from lara_tpu.ops.flash import flash_mha
+            out = flash_mha(q, k, v, kv_mask=kv_mask)
+            out = out.reshape(bq, lq, self.dim)
+            return dense("out_proj", out_bias)(out)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(self.dtype)
 

@@ -67,7 +67,8 @@ class LaRaNet(nn.Module):
         self.img_encoder = DinoViT(
             patch_size=m.patch_size, dim=m.encoder_dim, depth=m.encoder_depth,
             num_heads=m.encoder_heads, dtype=self.dtype, remat=m.remat,
-            remat_policy=m.remat_policy, name="img_encoder")
+            remat_policy=m.remat_policy, use_flash=m.flash_attn,
+            name="img_encoder")
         self.dir_norm = ModLN(m.encoder_dim, dtype=self.dtype, name="dir_norm")
         if m.view_embed_dim > 0:
             self.view_embed = self.param(

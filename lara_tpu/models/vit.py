@@ -35,12 +35,14 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + MultiHeadAttention(self.dim, self.num_heads, use_bias=True,
                                    dtype=self.dtype, q_chunk=256,
+                                   use_flash=self.use_flash,
                                    name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
@@ -58,13 +60,15 @@ class _ScanViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
     remat_policy: str = "full"
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         from lara_tpu.models.remat import remat_policy
         cls = (nn.remat(ViTBlock, policy=remat_policy(self.remat_policy))
                if self.remat else ViTBlock)
-        x = cls(self.dim, self.num_heads, dtype=self.dtype, name="block")(x)
+        x = cls(self.dim, self.num_heads, dtype=self.dtype,
+                use_flash=self.use_flash, name="block")(x)
         return x, None
 
 
@@ -78,6 +82,7 @@ class DinoViT(nn.Module):
     remat: bool = True          # rematerialize block activations (B=3 at 512²
                                 # otherwise exceeds v5e HBM by ~2GB)
     remat_policy: str = "full"  # see lara_tpu/models/remat.py
+    use_flash: bool = False     # Pallas flash-attention kernels (ops/flash.py)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -119,6 +124,7 @@ class DinoViT(nn.Module):
             length=self.depth)
         x, _ = scan(self.dim, self.num_heads, dtype=self.dtype,
                     remat=self.remat, remat_policy=self.remat_policy,
+                    use_flash=self.use_flash,
                     name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS
