@@ -169,8 +169,15 @@ def bench_train_step():
         m = dataclasses.replace(m, flash_attn=True)
     if os.environ.get("LARA_REMAT_POLICY", ""):
         m = dataclasses.replace(m, remat_policy=os.environ["LARA_REMAT_POLICY"])
-    if m is not cfg.model:
-        cfg = dataclasses.replace(cfg, model=m)
+    r = cfg.render
+    if os.environ.get("LARA_BIN_MODE", ""):
+        r = dataclasses.replace(r, bin_mode=os.environ["LARA_BIN_MODE"])
+    if os.environ.get("LARA_BATCH_TILES", "") == "1":
+        r = dataclasses.replace(r, pallas_batch_tiles=True)
+    if os.environ.get("LARA_STASH", "") == "1":
+        r = dataclasses.replace(r, pallas_stash_carries=True)
+    if m is not cfg.model or r is not cfg.render:
+        cfg = dataclasses.replace(cfg, model=m, render=r)
     net = LaRaNet(cfg)
     B, H = 3, 512
     batch = synthetic_batch(B=B, n_views=cfg.n_views, H=H, W=H)

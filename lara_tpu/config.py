@@ -83,6 +83,11 @@ class RenderConfig:
     # tile-window construction: "sort" (9V-key lax.sort) or "count"
     # (MXU counting sort) — see RasterizeConfig.bin_mode
     bin_mode: str = "sort"
+    # pallas blend kernel levers (see ops/rasterizer/pallas_blend.py):
+    # one shared chunk loop per grid step / replay-free backward from
+    # forward-stashed chunk carries
+    pallas_batch_tiles: bool = False
+    pallas_stash_carries: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

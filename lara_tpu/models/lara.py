@@ -107,7 +107,9 @@ class LaRaNet(nn.Module):
             visible_budget=r.visible_budget if train else r.eval_visible_budget,
             pallas_chunk=min(r.pallas_chunk, budget),
             pallas_tiles_per_step=r.pallas_tiles_per_step,
-            backend=backend, bin_mode=r.bin_mode)
+            backend=backend, bin_mode=r.bin_mode,
+            pallas_batch_tiles=r.pallas_batch_tiles,
+            pallas_stash_carries=r.pallas_stash_carries)
 
     def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
         """imgs [BV, H, W, 3], rays_down [BV, h, w, 6] (h = H/16) →
@@ -264,7 +266,8 @@ class LaRaNet(nn.Module):
                                   (cams_b, rays_b, bgs_b, gauss_b))
             return out
 
-        def render_batch_rebind(cams_b, rays_b, bgs_b, binned_b, sh_f, mask_f):
+        def render_batch_rebind(cams_b, rays_b, bgs_b, binned_b, sh_f, mask_f,
+                                cen_b, op_b, sc_b, rot_b):
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, binned_v, c, s, o, mk, sc, q = inp
 
@@ -280,13 +283,18 @@ class LaRaNet(nn.Module):
 
             _, out = jax.lax.scan(
                 scene_body, None,
-                (cams_b, rays_b, bgs_b, binned_b, centers_c, sh_f,
-                 opacity_c, mask_f, scaling_c, rotation_c))
+                (cams_b, rays_b, bgs_b, binned_b, cen_b, sh_f,
+                 op_b, mask_f, sc_b, rot_b))
             return out
 
+        # With tp > 1 the sequential view loop is split across the tp ranks
+        # (each renders N/tp views of its scenes; shard_map_render psums the
+        # surfel grads over a scene's view shards) — the one axis along
+        # which the un-batchable rasterizer can scale.
         gauss_c = (centers_c, sh_c, opacity_c, scaling_c, rotation_c)
-        res = render_batch(cams, rays_full, bg_colors, gauss_c,
-                           with_bin=with_fine)              # [B,N,H,W,...]
+        res = tp.shard_map_render(
+            lambda v, s: render_batch(*v, s, with_bin=with_fine),
+            (cams, rays_full, bg_colors), gauss_c)          # [B,N,H,W,...]
         out, binned = res if with_fine else (res, None)
 
         outputs = dict(out)
@@ -307,8 +315,11 @@ class LaRaNet(nn.Module):
             sh_fine, sel_mask = self._fine_stage(
                 batch, fine_src, volume_feat_up, centers_c, sh_c, opacity_c,
                 n_in, (H, W), view_mask)
-            out_f = render_batch_rebind(cams, rays_full, bg_colors, binned,
-                                        sh_fine, sel_mask)
+            out_f = tp.shard_map_render(
+                lambda v, s: render_batch_rebind(*v, *s),
+                (cams, rays_full, bg_colors, binned),
+                (sh_fine, sel_mask, centers_c, opacity_c, scaling_c,
+                 rotation_c))
             outputs.update({f"{k}_fine": v for k, v in out_f.items()})
             if return_buffer:
                 # full-set fine surfels (deselected entries disabled via the

@@ -68,3 +68,34 @@ def shard_batch_dim(x):
         return x
     spec = P("dp", *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(_TP_MESH, spec))
+
+
+def shard_map_render(f, views, scenes):
+    """Split the per-view render axis over tp — the step's dominant cost.
+
+    `views` is a pytree of [B, N, ...] leaves (cameras, rays, backgrounds,
+    cached binning state); `scenes` a pytree of [B, ...] per-scene leaves
+    (the surfel tensors — replicated over a scene's tp ranks). Runs
+    f(views, scenes) -> pytree of [B, N, ...] under shard_map, so each tp
+    rank renders N/tp of every scene's views with its own *sequential*
+    per-view scan — the rasterizer must not be batched on-device
+    (models/lara.py render_batch comment), so the only way to parallelize
+    the view loop is across chips. shard_map's transpose inserts the psum
+    that sums a scene's surfel gradients over its view shards (the tensors
+    enter with a spec that omits 'tp'), which is exactly DDP-style gradient
+    reduction at the view granularity.
+
+    Falls back to the plain call when TP is off or N is not divisible by
+    tp. check_vma=False: the Pallas rasterizer ops carry no varying-axis
+    rules; gradient psums are driven by the in_specs, not the check.
+    """
+    if _TP_MESH is None:
+        return f(views, scenes)
+    tp_n = _TP_MESH.shape["tp"]
+    n = jax.tree.leaves(views)[0].shape[1]
+    if n % tp_n != 0:
+        return f(views, scenes)
+    return jax.shard_map(
+        f, mesh=_TP_MESH,
+        in_specs=(P("dp", "tp"), P("dp")),
+        out_specs=P("dp", "tp"), check_vma=False)(views, scenes)

@@ -51,6 +51,28 @@ def test_tp_matches_dp_loss():
     assert np.isfinite(l_tp).all()
 
 
+def test_tp_sharded_render_matches_dp_loss():
+    """dp=2 x tp=2 with N=2 target views: each tp rank renders ONE view per
+    scene through tp.shard_map_render (N % tp == 0, unlike the tp=4 case
+    above which exercises the fallback). Loss must match pure dp — the
+    view split plus the shard_map-transpose psum of the surfel gradients
+    is a layout change, never math."""
+    cfg = tiny_config()
+    net = LaRaNet(cfg)
+    batch = synthetic_batch(B=2, n_views=2, H=64, W=64)
+    params = net.init(jax.random.PRNGKey(0), batch, with_fine=True, train=False)
+
+    mesh_dp = make_mesh(n_dp=2, devices=jax.devices()[:2])
+    l_dp = _loss_after_step(mesh_dp, net, batch, params, with_tp=False)
+
+    mesh_tp = make_mesh(n_dp=2, n_tp=2)
+    assert mesh_tp.shape == {"dp": 2, "tp": 2}
+    l_tp = _loss_after_step(mesh_tp, net, batch, params, with_tp=True)
+
+    np.testing.assert_allclose(l_tp, l_dp, rtol=2e-5, atol=2e-5)
+    assert np.isfinite(l_tp).all()
+
+
 def test_tp_disabled_emits_no_constraints():
     """With TP disabled the model must trace with zero sharding
     constraints — the axon single-chip backend pays 100x for them."""
