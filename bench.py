@@ -211,6 +211,29 @@ def bench_train_step():
     return t, mfu, flops
 
 
+def bench_infer():
+    """End-to-end inference (serving) throughput: full fine forward of the
+    flagship model, B=1 scene, 4 input + 4 novel views at 512², EVAL
+    rasterizer budgets — the evaluate.py hot loop. Opt-in (LARA_BENCH_INFER=1):
+    it adds one more multi-minute remote compile to the default bench."""
+    import jax
+
+    from lara_tpu.config import Config
+    from lara_tpu.models import LaRaNet
+    from lara_tpu.train.step import make_forward
+    from tests.test_model import synthetic_batch
+
+    cfg = Config(n_views=4)
+    net = LaRaNet(cfg)
+    batch = synthetic_batch(B=1, n_views=cfg.n_views, H=512, W=512)
+    params = jax.jit(lambda r: net.init(r, batch, with_fine=True,
+                                        train=False))(jax.random.PRNGKey(0))
+    fwd = make_forward(net, with_fine=True)
+    t = _slope_time(fwd, (params, batch), 2, 6,
+                    lambda o: float(o["image_fine"][0, 0, 0, 0, 0]))
+    return t
+
+
 def main():
     import jax
 
@@ -228,6 +251,13 @@ def main():
             train_step_s, mfu, flops = bench_train_step()
         except Exception as e:  # report the render numbers regardless
             print(f"# train-step bench failed: {type(e).__name__}: {e}")
+
+    infer_s = None
+    if os.environ.get("LARA_BENCH_INFER", "0") == "1":
+        try:
+            infer_s = bench_infer()
+        except Exception as e:
+            print(f"# infer bench failed: {type(e).__name__}: {e}")
 
     extra = {
         "fwd_bwd_fps": round(fb_fps, 2),
@@ -251,6 +281,9 @@ def main():
     if mfu is not None:
         extra["train_mfu"] = round(mfu, 4)
         extra["train_step_tflops"] = round(flops / 1e12, 2)
+    if infer_s is not None:
+        extra["infer_scene_s"] = round(infer_s, 3)
+        extra["infer_scenes_per_sec"] = round(1.0 / infer_s, 3)
 
     print(json.dumps({
         "metric": "render_fps_512_524k_surfels",
