@@ -259,3 +259,66 @@ def test_distributed_init_guard():
              "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": "0"},
             clear=True):
         assert maybe_initialize_distributed() is False
+
+
+def test_restore_migrates_pre_scan_checkpoint_layout(tmp_path):
+    """Checkpoints written before the scanned-stack refactor store the ViT /
+    volume layers unrolled (img_encoder.block{i}, vol_decoder.layer{i});
+    restore must stack them into the nn.scan layout (blocks.block /
+    layers.block) for both full resume and weight-only eval restore."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lara_tpu.config import TrainConfig
+    from lara_tpu.models import LaRaNet
+    from lara_tpu.train import checkpoint as ckpt
+    from lara_tpu.train.state import make_optimizer
+    from tests.test_model import synthetic_batch, tiny_config
+
+    net = LaRaNet(tiny_config())
+    batch = synthetic_batch(B=1, n_views=2, H=64, W=64)
+    params = net.init(jax.random.PRNGKey(0), batch, with_fine=True, train=False)
+    tx, _ = make_optimizer(TrainConfig(grad_accum=1, warmup_iters=2), 10)
+    opt_state = tx.init(params)
+
+    def unstack(node):
+        """New scanned layout -> the old unrolled layout (test-side inverse
+        of checkpoint.migrate_unrolled_layout)."""
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("blocks", "layers") and isinstance(v, dict) \
+                        and set(v) == {"block"}:
+                    depth = jax.tree.leaves(v)[0].shape[0]
+                    prefix = "block" if k == "blocks" else "layer"
+                    for i in range(depth):
+                        out[f"{prefix}{i}"] = jax.tree.map(
+                            lambda x, i=i: x[i], v["block"])
+                else:
+                    out[k] = unstack(v)
+            return out
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(unstack(c) for c in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(unstack(c) for c in node)
+        return node
+
+    old_state = types.SimpleNamespace(
+        params=unstack(params), opt_state=unstack(opt_state), step=3)
+    assert "block0" in old_state.params["params"]["img_encoder"]
+    ckpt.save_checkpoint(str(tmp_path), 3, old_state, epoch=1)
+
+    template = {"params": jax.tree.map(jnp.zeros_like, params),
+                "opt_state": jax.tree.map(jnp.zeros_like, opt_state),
+                "step": 0, "epoch": 0}
+    restored = ckpt.restore_checkpoint(str(tmp_path), template)
+    assert restored["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    loaded = ckpt.restore_params(str(tmp_path))
+    assert jax.tree.structure(loaded) == jax.tree.structure(params)
