@@ -59,6 +59,19 @@ def main(argv=None):
         return_buffer=cfg.infer.video_frames > 0 or cfg.infer.save_mesh,
         render_scale=cfg.infer.render_img_scale))
 
+    # Distributed evaluation (beyond the single-GPU reference): scenes are
+    # independent, so a batch of B scenes shards over min(B, device_count)
+    # dp ranks — evaluate.py throughput scales with chips. Single-device
+    # stays committed-input-free (the axon trap, parallel/mesh.py).
+    from lara_tpu.parallel.mesh import make_mesh, shard_batch
+    n_dp = 1
+    if jax.device_count() > 1 and cfg.infer_dataset.batch_size > 1:
+        n_dp = max(d for d in range(1, jax.device_count() + 1)
+                   if cfg.infer_dataset.batch_size % d == 0)
+    mesh = make_mesh(n_dp=n_dp, devices=jax.devices()[:n_dp])
+    if n_dp > 1:
+        print(f"evaluating with dp={n_dp} over {n_dp} devices")
+
     os.makedirs(cfg.infer.save_folder, exist_ok=True)
     os.makedirs(cfg.infer.metric_path, exist_ok=True)
     n_view = cfg.n_views
@@ -67,58 +80,71 @@ def main(argv=None):
 
     for i, batch in enumerate(loader):
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "meta"}
+        n_scenes = int(arrays["tar_rgb"].shape[0])
+        if n_dp > 1 and n_scenes % n_dp == 0:
+            arrays = shard_batch(arrays, mesh)
         out = fwd(params, arrays)
-        name = str(batch["meta"][0]["scene"]).split(".")[0]
-
         img_key = "image_fine" if "image_fine" in out else "image"
-        pred = np.asarray(out[img_key][0])          # [N,H,W,3]
-        gt = np.asarray(batch["tar_rgb"][0])
+        dep_key = "depth_fine" if "depth_fine" in out else "depth"
 
-        if cfg.infer.eval_novel_view_only:
-            pred_m, gt_m = pred[n_view:], gt[n_view:]
-        else:
-            pred_m, gt_m = pred, gt
-        if pred_m.size:
-            # the reference scores ONE horizontal mosaic of the selected
-            # views — pooled PSNR, a single SSIM (Gaussian windows cross
-            # view seams) and a single LPIPS call (evaluation.py:75-95)
-            mosaic_p = np.concatenate(list(pred_m), axis=1)
-            mosaic_g = np.concatenate(list(gt_m), axis=1)
-            psnrs.append(psnr(mosaic_p, mosaic_g))
-            ssims.append(ssim(mosaic_p, mosaic_g))
-            if lpips_vgg_fn is not None:
-                lpips_vggs.append(lpips_vgg_fn(mosaic_g, mosaic_p))
-            if lpips_alex_fn is not None:
-                lpips_alexs.append(lpips_alex_fn(mosaic_g, mosaic_p))
+        for j in range(n_scenes):
+            name = str(batch["meta"][j]["scene"]).split(".")[0]
+            pred = np.asarray(out[img_key][j])          # [N,H,W,3]
+            gt = np.asarray(batch["tar_rgb"][j])
 
-        if len(cfg.infer.eval_depth) and "tar_dep" in batch:
-            dep_key = "depth_fine" if "depth_fine" in out else "depth"
-            dp = np.asarray(out[dep_key][0, ..., 0])
-            dg = np.asarray(batch["tar_dep"][0])
-            mask = np.asarray(batch["tar_msk"][0]).astype(bool)
-            accs = [float(abs_error(dp, dg, mask).mean())]
-            accs += [float(acc_threshold(dp, dg, mask, t).mean())
-                     for t in cfg.infer.eval_depth]
-            depth_accs.append(accs)
+            if cfg.infer.eval_novel_view_only:
+                pred_m, gt_m = pred[n_view:], gt[n_view:]
+            else:
+                pred_m, gt_m = pred, gt
+            if pred_m.size:
+                # the reference scores ONE horizontal mosaic of the selected
+                # views — pooled PSNR, a single SSIM (Gaussian windows cross
+                # view seams) and a single LPIPS call (evaluation.py:75-95)
+                mosaic_p = np.concatenate(list(pred_m), axis=1)
+                mosaic_g = np.concatenate(list(gt_m), axis=1)
+                psnrs.append(psnr(mosaic_p, mosaic_g))
+                ssims.append(ssim(mosaic_p, mosaic_g))
+                if lpips_vgg_fn is not None:
+                    lpips_vggs.append(lpips_vgg_fn(mosaic_g, mosaic_p))
+                if lpips_alex_fn is not None:
+                    lpips_alexs.append(lpips_alex_fn(mosaic_g, mosaic_p))
 
-        if i < 100:
-            _save_panel(os.path.join(cfg.infer.save_folder, f"{name}.jpg"), gt, pred)
+            if len(cfg.infer.eval_depth) and "tar_dep" in batch:
+                dp = np.asarray(out[dep_key][j, ..., 0])
+                dg = np.asarray(batch["tar_dep"][j])
+                mask = np.asarray(batch["tar_msk"][j]).astype(bool)
+                accs = [float(abs_error(dp, dg, mask).mean())]
+                accs += [float(acc_threshold(dp, dg, mask, t).mean())
+                         for t in cfg.infer.eval_depth]
+                depth_accs.append(accs)
 
-        if cfg.infer.video_frames > 0 or cfg.infer.save_mesh:
-            from lara_tpu.eval.render_artifacts import render_video, extract_mesh
-            gauss = jax.tree.map(lambda a: a[0], out["render_pkg"]["fine"])
-            tm = np.asarray(batch["transform_mats"][0]).reshape(4, 4)
-            if cfg.infer.video_frames > 0:
-                render_video(
-                    os.path.join(cfg.infer.save_folder, f"{name}_video.mp4"),
-                    gauss, cfg, tm, n_frames=cfg.infer.video_frames,
-                    sample=batch)
-            if cfg.infer.save_mesh:
-                extract_mesh(os.path.join(cfg.infer.save_folder, f"{name}.obj"),
-                             gauss, cfg, tm)
+            if len(names) < 100:
+                _save_panel(os.path.join(cfg.infer.save_folder, f"{name}.jpg"),
+                            gt, pred)
 
-        names.append(name)
-        print(f"[{i+1}/{len(loader)}] {name} psnr={psnrs[-1] if psnrs else float('nan'):.2f}")
+            if cfg.infer.video_frames > 0 or cfg.infer.save_mesh:
+                from lara_tpu.eval.render_artifacts import (render_video,
+                                                            extract_mesh)
+                gauss = jax.tree.map(lambda a: np.asarray(a[j]),
+                                     out["render_pkg"]["fine"])
+                tm = np.asarray(batch["transform_mats"][j]).reshape(4, 4)
+                sample_j = {k: (v if k == "meta" else
+                                jax.tree.map(lambda a: a[j:j + 1], v))
+                            for k, v in batch.items()}
+                if cfg.infer.video_frames > 0:
+                    render_video(
+                        os.path.join(cfg.infer.save_folder,
+                                     f"{name}_video.mp4"),
+                        gauss, cfg, tm, n_frames=cfg.infer.video_frames,
+                        sample=sample_j)
+                if cfg.infer.save_mesh:
+                    extract_mesh(
+                        os.path.join(cfg.infer.save_folder, f"{name}.obj"),
+                        gauss, cfg, tm)
+
+            names.append(name)
+            print(f"[{len(names)}/{len(loader) * n_scenes}] {name} "
+                  f"psnr={psnrs[-1] if psnrs else float('nan'):.2f}")
 
     metrics = {
         "scenes": names,

@@ -218,3 +218,29 @@ def test_mipnerf_spiral_path():
     import pytest
     with pytest.raises(ValueError):
         uni_video_path(8, "mipnerf360", (64, 48))
+
+
+def test_evaluate_dp_sharded_matches_single(tmp_path):
+    """evaluate.py with batch_size=2 shards scenes over dp=2 on the virtual
+    mesh (distributed evaluation — beyond the single-GPU reference); the
+    per-scene metrics must match the batch_size=1 single-device run."""
+    import evaluate
+
+    def run(tag, batch_size):
+        return evaluate.main([
+            "configs/synthetic.yaml",
+            "infer_dataset.dataset_name=synthetic",
+            "infer_dataset.data_root=dataset/synthetic/synthetic.h5",
+            "infer_dataset.img_size=[64,64]",
+            f"infer_dataset.batch_size={batch_size}",
+            "infer_dataset.num_workers=0",
+            "infer.video_frames=0", "infer.save_mesh=False",
+            f"infer.save_folder={tmp_path}/{tag}",
+            f"infer.metric_path={tmp_path}/{tag}_m",
+        ])
+
+    m1 = run("bs1", 1)
+    m2 = run("bs2", 2)
+    assert m1["scenes"] == m2["scenes"]
+    np.testing.assert_allclose(m2["psnr"], m1["psnr"], rtol=0, atol=5e-3)
+    np.testing.assert_allclose(m2["ssim"], m1["ssim"], rtol=0, atol=5e-3)
