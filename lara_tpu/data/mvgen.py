@@ -199,10 +199,48 @@ def cv2_resize(img: np.ndarray, size: int) -> np.ndarray:
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
 
 
+def estimate_alpha_matte(img: np.ndarray, lo: float = 0.06,
+                         hi: float = 0.25) -> np.ndarray:
+    """Classical (weight-free) foreground alpha for a generator view.
+
+    Diffusion multi-view outputs place one object on a near-uniform
+    background (gray for zero123plus, white/black for sv3d). The matte:
+      1. models the background color as the median of the border pixels;
+      2. maps color distance to a soft alpha ramp (lo → 0, hi → 1);
+      3. keeps only background that is CONNECTED to the image border —
+         background-colored pixels enclosed by the object (e.g. a white
+         highlight on a white-bg render) stay foreground, which a pure
+         chroma-key would punch holes through.
+
+    Returns alpha [H, W, 1] in [0, 1]. Replaces rembg's learned matting
+    (dataLoader/mvgen.py:195-208) when its weights are unavailable; the
+    contract (alpha → white composite) is identical.
+    """
+    import cv2
+
+    img = np.asarray(img, np.float32)
+    border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)
+    bg = np.median(border, axis=0)
+    dist = np.linalg.norm(img - bg, axis=-1)
+    alpha = np.clip((dist - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+
+    bg_like = (dist < (lo + hi) / 2).astype(np.uint8)
+    n, labels = cv2.connectedComponents(bg_like, connectivity=4)
+    edge_labels = np.unique(np.concatenate(
+        [labels[0], labels[-1], labels[:, 0], labels[:, -1]]))
+    edge_labels = edge_labels[edge_labels != 0] if 0 in edge_labels else edge_labels
+    # labels==0 marks non-background-like pixels (cv2 gives background of the
+    # *mask* label 0); any bg-like component not touching the border is a hole
+    connected = np.isin(labels, [l for l in edge_labels if l != 0]) & (bg_like > 0)
+    hole = (bg_like > 0) & ~connected
+    alpha = np.where(hole, 1.0, alpha)
+    return alpha[..., None].astype(np.float32)
+
+
 def matte_white(img: np.ndarray) -> np.ndarray:
-    """Background matting → white composite. Uses rembg when available
-    (dataLoader/mvgen.py:195-208); otherwise assumes the generator already
-    produced a white background."""
+    """Background matting → white composite (dataLoader/mvgen.py:195-208).
+    Uses rembg's learned segmenter when importable; otherwise the classical
+    border-seeded `estimate_alpha_matte` — same alpha→white contract."""
     try:
         import rembg
 
@@ -210,7 +248,8 @@ def matte_white(img: np.ndarray) -> np.ndarray:
         rgba = rgba.astype(np.float32) / 255.0
         return rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
     except Exception:
-        return img
+        a = estimate_alpha_matte(img)
+        return img * a + (1.0 - a)
 
 
 def build_mvgen_batch(views: np.ndarray, c2ws: np.ndarray,

@@ -109,6 +109,75 @@ def test_build_mvgen_batch_contract():
     np.testing.assert_allclose(batch["near_far"], [r - 0.8, r + 0.8], atol=1e-5)
 
 
+def fake_zero123plus_pipeline(image: np.ndarray) -> np.ndarray:
+    """Deterministic fake-diffusion fixture (VERDICT r3 item 10): a
+    procedural stand-in for the zero123plus UNet producing the exact
+    output contract — a 3×2 grid [3H, 2W, 3] in [0, 1] of per-view object
+    renders on the model's gray background. Each tile shows a disc whose
+    hue and position vary deterministically with the view index and the
+    conditioning image's mean intensity, so downstream slicing/matting/
+    batch assembly can be asserted end-to-end with no weights."""
+    h = w = 96
+    mean = float(np.mean(image))
+    tiles = []
+    for v in range(6):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx = w / 2 + 10 * np.cos(v * np.pi / 3)
+        cy = h / 2 + 10 * np.sin(v * np.pi / 3)
+        r = np.hypot(xx - cx, yy - cy)
+        inside = (r < 16 + 12 * mean).astype(np.float32)[..., None]
+        # saturated per-view colors (never near the 0.5 gray background)
+        color = np.array([0.95 if (v + 1) & (1 << c) else 0.05
+                          for c in range(3)], np.float32)
+        tile = inside * color + (1 - inside) * 0.5   # gray bg like the model
+        tiles.append(tile)
+    rows = [np.concatenate(tiles[i * 2:(i + 1) * 2], axis=1) for i in range(3)]
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
+def test_fake_diffusion_full_path(tmp_path):
+    """generate→slice→matte→batch through MVGenDataset with the procedural
+    pipeline: views are white-composited discs, batch schema is standard."""
+    import imageio.v2 as imageio
+
+    from lara_tpu.config import DatasetConfig
+    from lara_tpu.data.mvgen import MVGenDataset
+
+    img = (np.ones((80, 60, 3)) * [[0.2, 0.4, 0.6]]).astype(np.float32)
+    path = tmp_path / "cond.png"
+    imageio.imwrite(path, (img * 255).astype(np.uint8))
+
+    cfg = DatasetConfig(data_root=str(tmp_path), img_size=(64, 64))
+    ds = MVGenDataset(cfg, image_paths=[str(path)],
+                      pipeline=fake_zero123plus_pipeline)
+    assert len(ds) == 1
+    batch = ds[0]
+    assert batch["tar_rgb"].shape == (4, 64, 64, 3)
+    assert batch["tar_rays"].shape == (4, 64, 64, 6)
+    # matting turned the gray diffusion background white
+    corners = batch["tar_rgb"][:, :4, :4, :]
+    np.testing.assert_allclose(corners, 1.0, atol=0.02)
+    # the object survived: each view keeps a saturated disc
+    assert (batch["tar_rgb"].reshape(4, -1).min(axis=1) < 0.6).all()
+    # determinism: the same conditioning image gives the same batch
+    batch2 = ds[0]
+    np.testing.assert_array_equal(batch["tar_rgb"], batch2["tar_rgb"])
+
+
+def test_estimate_alpha_matte_holes_and_bg():
+    """Border-connected background keys out; object pixels of background
+    color ENCLOSED by the object (highlights) stay opaque."""
+    from lara_tpu.data.mvgen import estimate_alpha_matte
+
+    img = np.full((64, 64, 3), 0.5, np.float32)       # gray bg
+    img[16:48, 16:48] = [0.9, 0.2, 0.1]               # object
+    img[28:36, 28:36] = 0.5                           # bg-colored hole inside
+    a = estimate_alpha_matte(img)[..., 0]
+    assert a[:8, :8].max() == 0.0                     # bg keyed out
+    assert a[20, 20] == 1.0                           # object opaque
+    assert a[32, 32] == 1.0                           # enclosed hole kept
+
+
 def test_vis_images_panels():
     rng = np.random.default_rng(0)
     B, N, H, W = 2, 4, 16, 16
