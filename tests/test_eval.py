@@ -137,6 +137,53 @@ def test_mesh_render_view():
     assert img[2, 2, 0] == 1.0
 
 
+def _uv_sphere(n_lat=24, n_lon=32, r=0.4):
+    lat = np.linspace(0, np.pi, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    la, lo = np.meshgrid(lat, lon, indexing="ij")
+    verts = np.stack([r * np.sin(la) * np.cos(lo), r * np.sin(la) * np.sin(lo),
+                      r * np.cos(la)], -1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces += [[a, b, c], [b, d, c]]
+    return verts, np.array(faces, np.int64)
+
+
+def test_mesh_render_shaded_sphere():
+    """The Phong+SSAO turntable (VERDICT r3 item 8): a lit sphere must show
+    real shading variation (specular highlight brighter than the mean lit
+    surface, limb darker), vertex colors must tint the render, and SSAO
+    must stay in [0,1]."""
+    from tools.mesh_render import render_mesh_view, ssao
+    from lara_tpu.utils.camera import fov_to_ixt
+
+    verts, faces = _uv_sphere()
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -2.0
+    ixt = fov_to_ixt(np.array([0.8, 0.8]), np.array([96, 96]))
+    img = render_mesh_view(verts, faces, c2w, ixt, 96, 96)
+    hit = np.any(img != 1.0, axis=-1)
+    assert hit.sum() > 500
+    lum = img.mean(-1)
+    lit = lum[hit]
+    # shading variation: a highlight well above the mean and dark limbs
+    assert lit.max() > lit.mean() + 0.15
+    assert lit.min() < lit.mean() - 0.1
+    # vertex colors tint the output
+    red = np.tile(np.array([[0.9, 0.1, 0.1]], np.float32), (len(verts), 1))
+    img_r = render_mesh_view(verts, faces, c2w, ixt, 96, 96, colors=red)
+    assert img_r[hit][:, 0].mean() > img_r[hit][:, 1].mean() + 0.1
+    # ssao bounded
+    zb = np.where(hit, 1.0, np.inf).astype(np.float32)
+    a = ssao(zb)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+
+
 def test_lpips_converter_roundtrip(tmp_path):
     """tools/convert_lpips.py → load_lpips round-trip on a synthetic
     torch state dict shaped like torchvision VGG16 features + lpips lins

@@ -1,74 +1,190 @@
 #!/usr/bin/env python
-"""Mesh turntable rendering (CPU stand-in for the reference's Mitsuba path
-tracer, tools/meshRender.py — Mitsuba's cuda_ad_rgb variant is unavailable
-here). Renders a triangle mesh with a z-buffered Lambertian shader on the
-standard 3-elevation orbit and writes an mp4."""
+"""Shaded mesh turntable rendering (CPU approximation of the reference's
+Mitsuba path-traced turntable, tools/meshRender.py:9-51 + the
+configs/render/scene.xml studio setup — Mitsuba's cuda_ad_rgb variant is
+unavailable here, VERDICT r3 item 8).
+
+Deferred pipeline, pure NumPy:
+  1. rasterize perspective-correct G-buffers — depth, smooth vertex
+     normal, albedo (vertex colors when the OBJ has them) — with a real
+     per-pixel z-buffer;
+  2. shade: Blinn-Phong with a key light, a cool fill light and a rim
+     light, plus screen-space ambient occlusion from the depth buffer
+     (hemisphere depth-comparison SSAO) and a soft white environment —
+     the same visual ingredients (soft studio illumination, specular
+     response, contact darkening) the Mitsuba scene provides.
+
+Usage: python tools/mesh_render.py mesh.obj [--out mesh_video.mp4]
+"""
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def load_obj(path: str):
-    verts, faces = [], []
+    """Vertices, faces, optional per-vertex colors (`v x y z r g b` rows —
+    the format lara_tpu.eval.tsdf.save_obj writes)."""
+    verts, faces, colors = [], [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
-                verts.append([float(x) for x in line.split()[1:4]])
+                vals = [float(x) for x in line.split()[1:]]
+                verts.append(vals[:3])
+                if len(vals) >= 6:
+                    colors.append(vals[3:6])
             elif line.startswith("f "):
                 faces.append([int(t.split("/")[0]) - 1 for t in line.split()[1:4]])
-    return np.array(verts, np.float32), np.array(faces, np.int64)
+    v = np.array(verts, np.float32)
+    c = np.array(colors, np.float32) if len(colors) == len(verts) else None
+    return v, np.array(faces, np.int64), c
 
 
-def render_mesh_view(verts, faces, c2w, ixt, H, W, light=(0.4, 0.7, -0.6)):
-    """Painter-free z-buffer rasterization of triangles, Lambert shading."""
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)           # area-weighted
+    vn = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    return vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+
+def rasterize_gbuffer(verts, faces, vnormals, albedo, c2w, ixt, H, W):
+    """Per-pixel perspective-correct z/normal/albedo buffers."""
     w2c = np.linalg.inv(c2w)
     cam = verts @ w2c[:3, :3].T + w2c[:3, 3]
     z = cam[:, 2]
-    uv = cam[:, :2] / np.maximum(z[:, None], 1e-6)
-    px = ixt[0, 0] * uv[:, 0] + ixt[0, 2]
-    py = ixt[1, 1] * uv[:, 1] + ixt[1, 2]
+    inv_z = 1.0 / np.maximum(z, 1e-6)
+    px = ixt[0, 0] * cam[:, 0] * inv_z + ixt[0, 2]
+    py = ixt[1, 1] * cam[:, 1] * inv_z + ixt[1, 2]
 
-    tri = faces
-    v0, v1, v2 = verts[tri[:, 0]], verts[tri[:, 1]], verts[tri[:, 2]]
-    n = np.cross(v1 - v0, v2 - v0)
-    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    light = np.asarray(light) / np.linalg.norm(light)
-    shade = np.abs(n @ light) * 0.75 + 0.25
-
-    img = np.ones((H, W, 3), np.float32)
     zbuf = np.full((H, W), np.inf, np.float32)
-    # simple per-triangle scanline; fine for turntable previews
-    x = np.stack([px[tri[:, i]] for i in range(3)], 1)
-    y = np.stack([py[tri[:, i]] for i in range(3)], 1)
-    zt = np.stack([z[tri[:, i]] for i in range(3)], 1).mean(1)
-    order = np.argsort(-zt)  # far to near
-    for t in order:
-        if zt[t] <= 0:
+    nbuf = np.zeros((H, W, 3), np.float32)
+    abuf = np.zeros((H, W, 3), np.float32)
+
+    tri_z = np.stack([z[faces[:, i]] for i in range(3)], 1)
+    front = tri_z.min(1) > 1e-4
+    for t in np.nonzero(front)[0]:
+        i0, i1, i2 = faces[t]
+        xs = np.array([px[i0], px[i1], px[i2]])
+        ys = np.array([py[i0], py[i1], py[i2]])
+        x0, x1 = int(max(np.floor(xs.min()), 0)), int(min(np.ceil(xs.max()), W - 1)) + 1
+        y0, y1 = int(max(np.floor(ys.min()), 0)), int(min(np.ceil(ys.max()), H - 1)) + 1
+        if x0 >= x1 or y0 >= y1:
             continue
-        xs, ys = x[t], y[t]
-        x0, x1c = int(max(xs.min(), 0)), int(min(xs.max(), W - 1)) + 1
-        y0, y1c = int(max(ys.min(), 0)), int(min(ys.max(), H - 1)) + 1
-        if x0 >= x1c or y0 >= y1c:
+        d = (ys[1] - ys[2]) * (xs[0] - xs[2]) + (xs[2] - xs[1]) * (ys[0] - ys[2])
+        if abs(d) < 1e-12:
             continue
-        gy, gx = np.mgrid[y0:y1c, x0:x1c]
-        d = _barycentric_inside(xs, ys, gx + 0.5, gy + 0.5)
-        mask = d & (zt[t] < zbuf[y0:y1c, x0:x1c])
-        zbuf[y0:y1c, x0:x1c][mask] = zt[t]
-        img[y0:y1c, x0:x1c][mask] = shade[t]
-    return img
+        gy, gx = np.mgrid[y0:y1, x0:x1]
+        gx = gx + 0.5
+        gy = gy + 0.5
+        a = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d
+        b = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d
+        c = 1.0 - a - b
+        inside = (a >= 0) & (b >= 0) & (c >= 0)
+        if not inside.any():
+            continue
+        # perspective-correct: interpolate 1/z and attr/z
+        izs = np.array([1.0 / max(z[i0], 1e-6), 1.0 / max(z[i1], 1e-6),
+                        1.0 / max(z[i2], 1e-6)])
+        iz = a * izs[0] + b * izs[1] + c * izs[2]
+        zpix = 1.0 / np.maximum(iz, 1e-12)
+        win = zbuf[y0:y1, x0:x1]
+        upd = inside & (zpix < win)
+        if not upd.any():
+            continue
+        wgt = np.stack([a * izs[0], b * izs[1], c * izs[2]], -1) * zpix[..., None]
+        n = (wgt[..., 0:1] * vnormals[i0] + wgt[..., 1:2] * vnormals[i1]
+             + wgt[..., 2:3] * vnormals[i2])
+        al = (wgt[..., 0:1] * albedo[i0] + wgt[..., 1:2] * albedo[i1]
+              + wgt[..., 2:3] * albedo[i2])
+        win[upd] = zpix[upd]
+        nbuf[y0:y1, x0:x1][upd] = n[upd]
+        abuf[y0:y1, x0:x1][upd] = al[upd]
+    return zbuf, nbuf, abuf
 
 
-def _barycentric_inside(xs, ys, gx, gy):
-    d = (ys[1] - ys[2]) * (xs[0] - xs[2]) + (xs[2] - xs[1]) * (ys[0] - ys[2])
-    if abs(d) < 1e-12:
-        return np.zeros_like(gx, bool)
-    a = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d
-    b = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d
-    c = 1 - a - b
-    return (a >= 0) & (b >= 0) & (c >= 0)
+def ssao(zbuf: np.ndarray, radius_px: int = 8, samples: int = 12,
+         strength: float = 0.9) -> np.ndarray:
+    """Screen-space ambient occlusion: fraction of ring samples whose depth
+    is in front of the center (contact/crevice darkening)."""
+    H, W = zbuf.shape
+    hit = np.isfinite(zbuf)
+    z = np.where(hit, zbuf, 0.0)
+    occ = np.zeros((H, W), np.float32)
+    rng = np.random.default_rng(0)
+    total = 0
+    for k in range(samples):
+        ang = 2 * np.pi * (k + rng.uniform(0, 1)) / samples
+        r = radius_px * (0.3 + 0.7 * rng.uniform(0, 1))
+        dx, dy = int(round(r * np.cos(ang))), int(round(r * np.sin(ang)))
+        if dx == 0 and dy == 0:
+            continue
+        sh = np.roll(np.roll(z, dy, 0), dx, 1)
+        sh_hit = np.roll(np.roll(hit, dy, 0), dx, 1)
+        closer = sh_hit & hit & (sh < z - 0.005) & (z - sh < 0.15)
+        occ += closer.astype(np.float32)
+        total += 1
+    ao = 1.0 - strength * occ / max(total, 1)
+    # slight blur to hide sampling noise
+    ao = (ao + np.roll(ao, 1, 0) + np.roll(ao, -1, 0)
+          + np.roll(ao, 1, 1) + np.roll(ao, -1, 1)) / 5.0
+    return np.clip(ao, 0.0, 1.0)
+
+
+# studio rig: key / cool fill / rim, camera space (z forward)
+_LIGHTS = (
+    ((-0.45, -0.6, -0.66), (1.0, 0.98, 0.92), 0.9),   # key, warm, above-left
+    ((0.7, 0.2, -0.7), (0.65, 0.72, 0.85), 0.35),     # fill, cool, right
+    ((0.0, 0.55, 0.84), (1.0, 1.0, 1.0), 0.25),       # rim, from behind
+)
+
+
+def shade(zbuf, nbuf, abuf, ambient: float = 0.30,
+          spec: float = 0.35, shininess: float = 24.0,
+          bg: float = 1.0) -> np.ndarray:
+    """Blinn-Phong + SSAO deferred shading (camera-space buffers)."""
+    hit = np.isfinite(zbuf)
+    n = nbuf / np.maximum(np.linalg.norm(nbuf, axis=-1, keepdims=True), 1e-12)
+    # flip normals toward the camera (view dir ≈ -z)
+    n = np.where(n[..., 2:3] > 0, -n, n)
+    view = np.array([0.0, 0.0, -1.0])
+    ao = ssao(zbuf)
+
+    col = np.zeros_like(abuf)
+    col += ambient * ao[..., None] * abuf
+    for ldir, lcol, lint in _LIGHTS:
+        l = -np.asarray(ldir, np.float32)
+        l = l / np.linalg.norm(l)
+        ndl = np.clip(np.sum(n * l, -1, keepdims=True), 0.0, 1.0)
+        h = l + view
+        h = h / np.linalg.norm(h)
+        ndh = np.clip(np.sum(n * h, -1, keepdims=True), 0.0, 1.0)
+        contrib = (abuf * ndl + spec * ndh ** shininess) * np.asarray(lcol) * lint
+        col += contrib * (0.4 + 0.6 * ao[..., None])
+    out = np.where(hit[..., None], np.clip(col, 0.0, 1.0), bg)
+    return out.astype(np.float32)
+
+
+def render_mesh_view(verts, faces, c2w, ixt, H, W, colors=None,
+                     vnormals=None):
+    """One shaded turntable frame. `colors` [V,3] vertex albedo (default
+    neutral studio gray); pass precomputed `vnormals` to amortize."""
+    if vnormals is None:
+        vnormals = vertex_normals(verts, faces)
+    albedo = colors if colors is not None else np.full_like(verts, 0.78)
+    # normals into camera space for shading
+    w2c = np.linalg.inv(c2w)
+    zb, nb, ab = rasterize_gbuffer(verts, faces, vnormals @ w2c[:3, :3].T,
+                                   albedo, c2w, ixt, H, W)
+    return shade(zb, nb, ab)
 
 
 def main():
@@ -80,15 +196,17 @@ def main():
     ap.add_argument("mesh")
     ap.add_argument("--out", default="mesh_video.mp4")
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=16)
     args = ap.parse_args()
 
-    verts, faces = load_obj(args.mesh)
-    cams = uni_mesh_path(16, "gobjeverse", (args.size, args.size))
+    verts, faces, colors = load_obj(args.mesh)
+    vn = vertex_normals(verts, faces)
+    cams = uni_mesh_path(args.frames, "gobjeverse", (args.size, args.size))
     wr = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"), 15,
                          (args.size, args.size))
     for cam in cams:
         img = render_mesh_view(verts, faces, cam.c2w, cam.ixt,
-                               args.size, args.size)
+                               args.size, args.size, colors, vn)
         wr.write((img[..., ::-1] * 255).astype(np.uint8))
     wr.release()
     print("->", args.out)
