@@ -104,8 +104,11 @@ def bench_rasterizer():
             "LARA_TILES_PER_STEP", r.pallas_tiles_per_step)),
         backend="pallas",
         bin_mode=os.environ.get("LARA_BIN_MODE", r.bin_mode),
-        pallas_batch_tiles=os.environ.get("LARA_BATCH_TILES", "") == "1",
-        pallas_stash_carries=os.environ.get("LARA_STASH", "") == "1")
+        # env vars override in BOTH directions; unset → RenderConfig default
+        pallas_batch_tiles={"1": True, "0": False}.get(
+            os.environ.get("LARA_BATCH_TILES", ""), r.pallas_batch_tiles),
+        pallas_stash_carries={"1": True, "0": False}.get(
+            os.environ.get("LARA_STASH", ""), r.pallas_stash_carries))
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)
@@ -172,10 +175,12 @@ def bench_train_step():
     r = cfg.render
     if os.environ.get("LARA_BIN_MODE", ""):
         r = dataclasses.replace(r, bin_mode=os.environ["LARA_BIN_MODE"])
-    if os.environ.get("LARA_BATCH_TILES", "") == "1":
-        r = dataclasses.replace(r, pallas_batch_tiles=True)
-    if os.environ.get("LARA_STASH", "") == "1":
-        r = dataclasses.replace(r, pallas_stash_carries=True)
+    if os.environ.get("LARA_BATCH_TILES", "") in ("0", "1"):
+        r = dataclasses.replace(
+            r, pallas_batch_tiles=os.environ["LARA_BATCH_TILES"] == "1")
+    if os.environ.get("LARA_STASH", "") in ("0", "1"):
+        r = dataclasses.replace(
+            r, pallas_stash_carries=os.environ["LARA_STASH"] == "1")
     if m is not cfg.model or r is not cfg.render:
         cfg = dataclasses.replace(cfg, model=m, render=r)
     net = LaRaNet(cfg)

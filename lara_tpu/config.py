@@ -49,6 +49,12 @@ class ModelConfig:
     # ViT self-attention via the fused Pallas flash kernels (ops/flash.py)
     # instead of the chunked-remat einsum path (models/attention.py q_chunk)
     flash_attn: bool = False
+    # Rematerialize each per-view render in the backward: without this the
+    # view scans stack per-view preprocess residuals ([N_views, 524288, 3]
+    # f32 in a lane-padded T(8,128) layout = 42.7× expansion, 3 × 2 GB of
+    # HLO temps — the measured flagship-step OOM, BENCH r3/r4). Recompute
+    # costs ~5 ms of preprocess+binning per view in the backward.
+    remat_views: bool = True
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by
@@ -87,7 +93,7 @@ class RenderConfig:
     # one shared chunk loop per grid step / replay-free backward from
     # forward-stashed chunk carries
     pallas_batch_tiles: bool = False
-    pallas_stash_carries: bool = False
+    pallas_stash_carries: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,10 +61,14 @@ def render_spheres(c2w, ixt, H, W, spheres):
 
 
 def write_synthetic_h5(path: str, n_scenes: int = 4, n_views: int = 12,
-                       img_size=(64, 64), radius: float = 1.8, seed: int = 0):
+                       img_size=(64, 64), radius: float = 1.8, seed: int = 0,
+                       compression=None):
     """Write an HDF5 shard in the gobjaverse schema
     (tools/prepare_dataset_objaverse.py:133-152): image_i/normal_i/c2w_i/fov_i
-    plus KMeans-style view groups groups_{n}_{i} for n in 2..6."""
+    plus KMeans-style view groups groups_{n}_{i} for n in 2..6.
+    `compression="gzip"` matches the production shards (the prep tool
+    gzips every image/normal dataset) for input-pipeline benchmarking;
+    tests default to uncompressed for speed."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -87,8 +91,10 @@ def write_synthetic_h5(path: str, n_scenes: int = 4, n_views: int = 12,
             for i in range(n_views):
                 c2w = _orbit_c2w(radius, azims[i], elevs[i])
                 rgba, normal = render_spheres(c2w, ixt, H, W, spheres)
-                g.create_dataset(f"image_{i}", data=rgba)
-                g.create_dataset(f"normal_{i}", data=normal)
+                g.create_dataset(f"image_{i}", data=rgba,
+                                 compression=compression)
+                g.create_dataset(f"normal_{i}", data=normal,
+                                 compression=compression)
                 g.create_dataset(f"c2w_{i}", data=c2w)
                 g.create_dataset(f"fov_{i}", data=fov)
             gg = g.create_group("groups")

@@ -247,15 +247,25 @@ class LaRaNet(nn.Module):
         # 3-wide minor dim, 3 × 2 GB of backward HBM at the flagship step
         # (measured OOM). As constants they stay one buffer and their
         # backward is a single cross-view accumulator.
+        # remat_views: recompute each view's render in the backward instead
+        # of letting the view scan stack per-view preprocess residuals —
+        # [N, 524288, 3] f32 picks up a lane-padded T(8,128) layout (42.7×,
+        # 3 × 2 GB of HLO temps), the measured flagship-step OOM.
+        maybe_remat = jax.checkpoint if m.remat_views else (lambda f: f)
+
         def render_batch(cams_b, rays_b, bgs_b, gauss_b, with_bin=False):
+            @maybe_remat
+            def render_one(cam, rays_i, c, s, o, sc, q, bg):
+                return render_view(cam, rays_i, c, s, o, sc, q, bg, rcfg,
+                                   return_binned=with_bin)
+
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, gauss = inp
                 c, s, o, sc, q = gauss
 
                 def view_body(_, vin):
                     cam, rays_i, bg = vin
-                    res = render_view(cam, rays_i, c, s, o, sc, q, bg, rcfg,
-                                      return_binned=with_bin)
+                    res = render_one(cam, rays_i, c, s, o, sc, q, bg)
                     return None, res
 
                 _, res = jax.lax.scan(view_body, None,
@@ -268,13 +278,18 @@ class LaRaNet(nn.Module):
 
         def render_batch_rebind(cams_b, rays_b, bgs_b, binned_b, sh_f, mask_f,
                                 cen_b, op_b, sc_b, rot_b):
+            @maybe_remat
+            def rebind_one(cam, rays_i, binned, c, s, o, mk, sc, q, bg):
+                return render_view_rebind(cam, rays_i, binned, c, s, o,
+                                          mk, sc, q, bg, rcfg)
+
             def scene_body(_, inp):
                 cam_v, rays_v, bg_v, binned_v, c, s, o, mk, sc, q = inp
 
                 def view_body(_, vin):
                     cam, rays_i, bg, binned = vin
-                    frame = render_view_rebind(cam, rays_i, binned, c, s, o,
-                                               mk, sc, q, bg, rcfg)
+                    frame = rebind_one(cam, rays_i, binned, c, s, o,
+                                       mk, sc, q, bg)
                     return None, frame
 
                 _, frames = jax.lax.scan(view_body, None,

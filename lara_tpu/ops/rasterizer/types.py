@@ -62,7 +62,7 @@ class RasterizeConfig:
     # full forward walk per tile for a small HBM round-trip. Under the
     # train step's per-view rematerialization the stash is a transient of
     # the recompute+backward pair, so it never accumulates across views.
-    pallas_stash_carries: bool = False
+    pallas_stash_carries: bool = True
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4
     near_cull: float = 0.2
