@@ -150,6 +150,71 @@ def bench_rasterizer():
     return 1.0 / t_fwd, 1.0 / t_fb, cfg, overflow
 
 
+def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
+    """Matmul-only model FLOPs of ONE fine train step (fwd × 3 for
+    fwd+bwd, the standard MFU convention — remat recompute deliberately
+    EXCLUDED, so the number is comparable across remat policies).
+
+    XLA's compiled cost_analysis undercounts heavily here (scan bodies are
+    counted once, not per trip; Pallas kernels report zero), so MFU from
+    it is meaningless — measured 5.35 TF/step vs ~20 TF analytic at the
+    flagship shape. Covers the matmul-dominated stages: ViT encoder,
+    volume transformer (cross-attn KV over grouped view tokens + MLP +
+    3³ conv), upsampler, coarse/fine decoders, and the blend kernel's
+    triangular-matmul cumsums. Gathers/elementwise excluded."""
+    m = cfg.model
+    n_in = cfg.n_views
+    n_views = 2 * n_in
+
+    # ViT encoder over B·n_in images
+    L = (H // m.patch_size) * (W // m.patch_size) + 1
+    D = m.encoder_dim
+    vit = m.encoder_depth * (24 * L * D * D + 4 * L * L * D)
+    vit *= B * n_in
+    # patch embed conv = one matmul over 3·p² inputs
+    vit += B * n_in * 2 * (L - 1) * (3 * m.patch_size ** 2) * D
+
+    # volume transformer: T tokens of dim E, per-group cross-attn over
+    # n_in·block³ condition tokens of dim (encoder_dim + view_embed)
+    R = m.vol_embedding_reso
+    T = R ** 3
+    E = m.embedding_dim
+    block = 2
+    cond_tokens = (R // block) ** 3 * n_in * block ** 3
+    cond_dim = m.encoder_dim + m.view_embed_dim
+    per_layer = (
+        4 * T * E * E                      # q + out proj
+        + 4 * cond_tokens * cond_dim * E   # k + v proj
+        + 4 * T * (n_in * block ** 3) * E  # qk + av inside each group
+        + 8 * T * E * E                    # MLP ratio 2
+        + 2 * 27 * T * E * E               # 3³ conv residual
+    )
+    vol = m.num_layers * per_layer * B
+    vol += B * 2 * 8 * T * E * m.vol_embedding_out_dim  # 2× deconv
+
+    # coarse decoder over (2R)³ voxels
+    M = (2 * R) ** 3
+    out = 3 + (m.sh_degree + 1) ** 2 * 3 + 1 + 2 + 4
+    dec = B * (2 * 2 * M * 80 * 80 + 2 * M * 80 * out * m.K)
+
+    # fine decoder over the fine budget
+    Mf = B * m.fine_budget
+    fine = (2 * Mf * 80 * 80 + 4 * Mf * n_in * 8 * 80
+            + 2 * Mf * 80 * 64 + 2 * Mf * 64 * (m.sh_degree + 1) ** 2 * 3)
+
+    # rasterizer blend: triangular-matmul cumsums, 2 render passes ×
+    # B·n_views views, each ~num_tiles·(budget/chunk) chunk steps
+    r = cfg.render
+    tiles = (H // r.tile) * (W // r.tile)
+    chunks = tiles * max(1, r.tile_budget // r.pallas_chunk)
+    # per chunk step: 4 triangular dots of [C,C]@[C,P], P = tile² pixels
+    blend = ((2 * B * n_views) * chunks
+             * 4 * 2 * r.pallas_chunk ** 2 * r.tile ** 2)
+
+    fwd = vit + vol + dec + fine + blend
+    return 3.0 * fwd
+
+
 def bench_train_step():
     """Full fine train step (model fwd + losses + AdamW) at the reference
     micro-batch B=3, 4 input + 4 supervision views, 512²."""
@@ -213,7 +278,9 @@ def bench_train_step():
 
     t = _slope_time(one, (sb,), 2, 6, lambda s: float(s["loss"]))
     mfu = (flops / t / V5E_PEAK_FLOPS) if flops else None
-    return t, mfu, flops
+    a_flops = analytic_model_flops(cfg, B, H, H)
+    a_mfu = a_flops / t / V5E_PEAK_FLOPS
+    return t, mfu, flops, a_mfu, a_flops
 
 
 def bench_infer():
@@ -250,10 +317,10 @@ def main():
 
     fwd_fps, fb_fps, cfg, radius_overflow = bench_rasterizer()
 
-    train_step_s = mfu = flops = None
+    train_step_s = mfu = flops = a_mfu = a_flops = None
     if os.environ.get("LARA_BENCH_TRAIN", "1") != "0":
         try:
-            train_step_s, mfu, flops = bench_train_step()
+            train_step_s, mfu, flops, a_mfu, a_flops = bench_train_step()
         except Exception as e:  # report the render numbers regardless
             print(f"# train-step bench failed: {type(e).__name__}: {e}")
 
@@ -284,8 +351,13 @@ def main():
         extra["train_step_s"] = round(train_step_s, 3)
         extra["train_scenes_per_sec"] = round(3.0 / train_step_s, 3)
     if mfu is not None:
-        extra["train_mfu"] = round(mfu, 4)
-        extra["train_step_tflops"] = round(flops / 1e12, 2)
+        extra["train_mfu_xla"] = round(mfu, 4)
+        extra["train_step_tflops_xla"] = round(flops / 1e12, 2)
+    if a_mfu is not None:
+        # analytic matmul-model FLOPs (3x fwd, no remat recompute) — the
+        # honest MFU; XLA cost analysis undercounts scan/Pallas bodies
+        extra["train_mfu"] = round(a_mfu, 4)
+        extra["train_step_tflops_analytic"] = round(a_flops / 1e12, 2)
     if infer_s is not None:
         extra["infer_scene_s"] = round(infer_s, 3)
         extra["infer_scenes_per_sec"] = round(1.0 / infer_s, 3)
