@@ -306,6 +306,23 @@ def bench_infer():
     return t
 
 
+def bench_input_pipeline():
+    """Host loader scenes/sec at the production shape (gzip 512² HDF5,
+    batch 3 × 8 views, 8 worker threads) — opt-in via LARA_BENCH_INPUT=1
+    (the shard generation + measurement costs ~2 min of host time).
+    Caveat: synthetic sphere images gzip smaller than real photos, so
+    real-data decode is somewhat slower; the measured 8-worker rate
+    (2.44 scenes/s, r4) still clears the TPU consumption rate (1.15) 2×."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from profile_input_pipeline import ensure_shard, measure
+
+    path = ensure_shard("/tmp/lara_input_bench_512.h5", 24, 512)
+    return measure(path, workers=8, batch=3, n_group=4, epochs=1)
+
+
 def main():
     import jax
 
@@ -330,6 +347,13 @@ def main():
             infer_s = bench_infer()
         except Exception as e:
             print(f"# infer bench failed: {type(e).__name__}: {e}")
+
+    input_sps = None
+    if os.environ.get("LARA_BENCH_INPUT", "0") == "1":
+        try:
+            input_sps = bench_input_pipeline()
+        except Exception as e:
+            print(f"# input-pipeline bench failed: {type(e).__name__}: {e}")
 
     extra = {
         "fwd_bwd_fps": round(fb_fps, 2),
@@ -361,6 +385,8 @@ def main():
     if infer_s is not None:
         extra["infer_scene_s"] = round(infer_s, 3)
         extra["infer_scenes_per_sec"] = round(1.0 / infer_s, 3)
+    if input_sps is not None:
+        extra["input_scenes_per_sec"] = round(input_sps, 2)
 
     print(json.dumps({
         "metric": "render_fps_512_524k_surfels",
