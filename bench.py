@@ -286,8 +286,9 @@ def bench_train_step():
 def bench_infer():
     """End-to-end inference (serving) throughput: full fine forward of the
     flagship model, B=1 scene, 4 input + 4 novel views at 512², EVAL
-    rasterizer budgets — the evaluate.py hot loop. Opt-in (LARA_BENCH_INFER=1):
-    it adds one more multi-minute remote compile to the default bench."""
+    rasterizer budgets — the evaluate.py hot loop. On by default so every
+    round's BENCH records serving throughput (VERDICT r3 #5); set
+    LARA_BENCH_INFER=0 to skip its extra multi-minute remote compile."""
     import jax
 
     from lara_tpu.config import Config
@@ -308,8 +309,9 @@ def bench_infer():
 
 def bench_input_pipeline():
     """Host loader scenes/sec at the production shape (gzip 512² HDF5,
-    batch 3 × 8 views, 8 worker threads) — opt-in via LARA_BENCH_INPUT=1
-    (the shard generation + measurement costs ~2 min of host time).
+    batch 3 × 8 views, 8 worker threads) — on by default so every round's
+    BENCH records it (VERDICT r3 #6); LARA_BENCH_INPUT=0 skips the ~2 min
+    of host-side shard generation + measurement.
     Caveat: synthetic sphere images gzip smaller than real photos, so
     real-data decode is somewhat slower; the measured 8-worker rate
     (2.44 scenes/s, r4) still clears the TPU consumption rate (1.15) 2×."""
@@ -320,7 +322,7 @@ def bench_input_pipeline():
     from profile_input_pipeline import ensure_shard, measure
 
     path = ensure_shard("/tmp/lara_input_bench_512.h5", 24, 512)
-    return measure(path, workers=8, batch=3, n_group=4, epochs=1)
+    return measure(path, workers=8, batch=3, n_group=4, epochs=4)
 
 
 def main():
@@ -342,14 +344,14 @@ def main():
             print(f"# train-step bench failed: {type(e).__name__}: {e}")
 
     infer_s = None
-    if os.environ.get("LARA_BENCH_INFER", "0") == "1":
+    if os.environ.get("LARA_BENCH_INFER", "1") == "1":
         try:
             infer_s = bench_infer()
         except Exception as e:
             print(f"# infer bench failed: {type(e).__name__}: {e}")
 
     input_sps = None
-    if os.environ.get("LARA_BENCH_INPUT", "0") == "1":
+    if os.environ.get("LARA_BENCH_INPUT", "1") == "1":
         try:
             input_sps = bench_input_pipeline()
         except Exception as e:

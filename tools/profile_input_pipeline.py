@@ -40,26 +40,36 @@ def ensure_shard(path: str, n_scenes: int, img: int) -> str:
 
 def measure(path: str, workers: int, batch: int, n_group: int,
             epochs: int = 2) -> float:
-    """Scenes/sec sustained over `epochs` full passes (first batch excluded
-    — thread spin-up)."""
+    """Scenes/sec sustained over `epochs` full passes.
+
+    The first `prefetch + 1` batches are excluded from the clock: they were
+    decoded during thread spin-up and sit ready in the prefetch queue, so
+    counting them measures queue drain, not pipeline throughput (with a
+    24-scene shard and one epoch that inflated the rate ~1000×)."""
     from lara_tpu.config import DatasetConfig
     from lara_tpu.data.gobjverse import GObjaverseDataset
     from lara_tpu.data.loader import DataLoader
 
+    prefetch = 4
     cfg = DatasetConfig(data_root=path, split="train", n_group=n_group,
                         img_size=(512, 512), load_normal=True, n_scenes=10**6)
     ds = GObjaverseDataset(cfg)
     dl = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=workers,
-                    prefetch=4)
+                    prefetch=prefetch)
     n_scenes = 0
+    skip = prefetch + 1
     t0 = None
     for ep in range(epochs):
         dl.set_epoch(ep)
         for b in dl:
-            if t0 is None:       # first batch = spin-up, start clock after
+            if skip:             # spin-up: already sitting in the queue
+                skip -= 1
                 t0 = time.perf_counter()
                 continue
             n_scenes += b["tar_rgb"].shape[0]
+    if not n_scenes:
+        raise ValueError("shard too small: every batch fit the prefetch "
+                         "queue — raise epochs/n_scenes")
     dt = time.perf_counter() - t0
     return n_scenes / dt
 
