@@ -55,6 +55,10 @@ class ModelConfig:
     # HLO temps — the measured flagship-step OOM, BENCH r3/r4). Recompute
     # costs ~5 ms of preprocess+binning per view in the backward.
     remat_views: bool = True
+    # Compact rasterizer residuals to SAVE across the per-view remat
+    # boundary instead of recomputing (models/remat.py:views_remat_policy):
+    # comma list of bin|packed|entries|stash; "" recomputes everything.
+    remat_views_save: str = "bin,packed,entries,stash"
     # Static surfel budget for the fine stage (replaces the dynamic boolean
     # masking of lightning/network.py:465,479,504-511 — SURVEY.md §7 hard
     # part (b)): the fine pass refines/re-renders the top-M surfels by

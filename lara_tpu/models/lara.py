@@ -251,7 +251,20 @@ class LaRaNet(nn.Module):
         # of letting the view scan stack per-view preprocess residuals —
         # [N, 524288, 3] f32 picks up a lane-padded T(8,128) layout (42.7×,
         # 3 × 2 GB of HLO temps), the measured flagship-step OOM.
-        maybe_remat = jax.checkpoint if m.remat_views else (lambda f: f)
+        # remat_views_save keeps the COMPACT rasterizer residuals (binning
+        # ints, packed rows, windowed entries, blend stash — ~18 MB/view)
+        # across the boundary so the backward skips the sorts, row gathers
+        # and the forward blend kernel while still recomputing the padded
+        # preprocess tensors (models/remat.py:views_remat_policy).
+        if m.remat_views:
+            from functools import partial
+
+            from lara_tpu.models.remat import views_remat_policy
+            _pol = views_remat_policy(m.remat_views_save)
+            maybe_remat = (jax.checkpoint if _pol is None
+                           else partial(jax.checkpoint, policy=_pol))
+        else:
+            maybe_remat = lambda f: f  # noqa: E731
 
         def render_batch(cams_b, rays_b, bgs_b, gauss_b, with_bin=False):
             @maybe_remat

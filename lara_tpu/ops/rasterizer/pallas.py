@@ -47,6 +47,8 @@ def blend_binned_pallas(
     entries = window_gather(packed, binned.win_gidx, binned.entry_valid,
                             cfg.dup * cfg.dup,
                             slot_pos=binned.slot_pos)  # [T, K, 13]
+    # saveable across the per-view remat (models/remat.py:views_remat_policy)
+    entries = jax.ad_checkpoint.checkpoint_name(entries, "raster_entries")
 
     scalars = jnp.stack([
         jnp.asarray(camera.tanfovx, jnp.float32).reshape(()),

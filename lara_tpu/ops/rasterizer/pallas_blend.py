@@ -573,6 +573,12 @@ def _vjp_fwd(entries, counts, scalars, cfg):
     if cfg.pallas_stash_carries:
         acc, carries = _run_fwd(entries, counts, scalars, cfg, stash=True)
         ndone = acc[:, NUM_CHANNELS, 0].astype(jnp.int32)
+        # saveable across the per-view render remat: with "stash" in
+        # ModelConfig.remat_views_save the backward skips re-running this
+        # forward kernel (models/remat.py:views_remat_policy)
+        from jax.ad_checkpoint import checkpoint_name
+        ndone = checkpoint_name(ndone, "raster_stash")
+        carries = checkpoint_name(carries, "raster_stash")
         return acc[:, :NUM_CHANNELS], (entries, counts, scalars,
                                        ndone, carries)
     out = _run_fwd(entries, counts, scalars, cfg)

@@ -174,9 +174,17 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     else:
         win_gidx, entry_valid, counts = _windows_sort(bounds_v, cfg)
         slot_pos = None
-    return packed, BinnedView(order_v=order_v, inv_order=inv_order,
-                              win_gidx=win_gidx, entry_valid=entry_valid,
-                              counts=counts, slot_pos=slot_pos)
+    # Name the compact residuals so the per-view render remat can SAVE them
+    # instead of re-running the sorts/gathers in the backward
+    # (models/remat.py:views_remat_policy). checkpoint_name is identity
+    # outside a policied jax.checkpoint.
+    from jax.ad_checkpoint import checkpoint_name
+    packed = checkpoint_name(packed, "raster_packed")
+    binned = BinnedView(order_v=order_v, inv_order=inv_order,
+                        win_gidx=win_gidx, entry_valid=entry_valid,
+                        counts=counts, slot_pos=slot_pos)
+    binned = jax.tree.map(lambda a: checkpoint_name(a, "raster_bin"), binned)
+    return packed, binned
 
 
 def _unpack_bounds(bounds_v: jnp.ndarray):
@@ -328,7 +336,9 @@ def repack_from_binned(g: ProjectedSurfels, binned: BinnedView) -> jnp.ndarray:
     """Packed rows for a re-render: the cached depth-compaction order
     applied to a fresh preprocess of the same geometry (new colors /
     opacities) — one row gather, no sort, no window construction."""
-    return take_rows(pack_surfels(g), binned.order_v, binned.inv_order)
+    from jax.ad_checkpoint import checkpoint_name
+    packed = take_rows(pack_surfels(g), binned.order_v, binned.inv_order)
+    return checkpoint_name(packed, "raster_packed")
 
 
 def rasterize_tiled(

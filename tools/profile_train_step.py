@@ -75,6 +75,9 @@ def build_row(row):
         m = dataclasses.replace(m, flash_attn=True)
     if os.environ.get("LARA_REMAT_POLICY", ""):
         m = dataclasses.replace(m, remat_policy=os.environ["LARA_REMAT_POLICY"])
+    if os.environ.get("LARA_REMAT_SAVE") is not None:
+        m = dataclasses.replace(
+            m, remat_views_save=os.environ["LARA_REMAT_SAVE"])
     r = cfg.render
     if os.environ.get("LARA_BIN_MODE", ""):
         r = dataclasses.replace(r, bin_mode=os.environ["LARA_BIN_MODE"])
