@@ -150,18 +150,13 @@ def bench_rasterizer():
     return 1.0 / t_fwd, 1.0 / t_fb, cfg, overflow
 
 
-def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
-    """Matmul-only model FLOPs of ONE fine train step (fwd × 3 for
-    fwd+bwd, the standard MFU convention — remat recompute deliberately
-    EXCLUDED, so the number is comparable across remat policies).
-
-    XLA's compiled cost_analysis undercounts heavily here (scan bodies are
-    counted once, not per trip; Pallas kernels report zero), so MFU from
-    it is meaningless — measured 5.35 TF/step vs ~20 TF analytic at the
-    flagship shape. Covers the matmul-dominated stages: ViT encoder,
-    volume transformer (cross-attn KV over grouped view tokens + MLP +
-    3³ conv), upsampler, coarse/fine decoders, and the blend kernel's
-    triangular-matmul cumsums. Gathers/elementwise excluded."""
+def analytic_flops_components(cfg, B: int, H: int, W: int):
+    """Matmul-only FORWARD model FLOPs, per pipeline stage (dict). The
+    formulas model the flax modules in lara_tpu/models/ exactly; a CPU
+    cross-check against XLA cost-analysis at depth-1 (where scan bodies
+    are counted exactly once — i.e. correctly) pins each one in
+    tests/test_bench_flops.py, so the MFU denominator can't silently
+    drift from the architecture it models."""
     m = cfg.model
     n_in = cfg.n_views
     n_views = 2 * n_in
@@ -179,7 +174,7 @@ def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
     R = m.vol_embedding_reso
     T = R ** 3
     E = m.embedding_dim
-    block = 2
+    block = R // m.n_groups[0]
     cond_tokens = (R // block) ** 3 * n_in * block ** 3
     cond_dim = m.encoder_dim + m.view_embed_dim
     per_layer = (
@@ -187,20 +182,25 @@ def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
         + 4 * cond_tokens * cond_dim * E   # k + v proj
         + 4 * T * (n_in * block ** 3) * E  # qk + av inside each group
         + 8 * T * E * E                    # MLP ratio 2
-        + 2 * 27 * T * E * E               # 3³ conv residual
+        # 3³ conv residual, SAME padding: (3R−2)³ valid taps, not 27R³ —
+        # padded-out taps are not model FLOPs (and XLA excludes them too)
+        + 2 * (3 * R - 2) ** 3 * E * E
     )
     vol = m.num_layers * per_layer * B
     vol += B * 2 * 8 * T * E * m.vol_embedding_out_dim  # 2× deconv
 
-    # coarse decoder over (2R)³ voxels
+    # coarse decoder over (2R)³ voxels: fc0 + fc1 (in→in) + out head
     M = (2 * R) ** 3
     out = 3 + (m.sh_degree + 1) ** 2 * 3 + 1 + 2 + 4
-    dec = B * (2 * 2 * M * 80 * 80 + 2 * M * 80 * out * m.K)
+    dd = m.vol_embedding_out_dim
+    dec = B * (2 * 2 * M * dd * dd + 2 * M * dd * out * m.K)
 
-    # fine decoder over the fine budget
+    # fine decoder over the fine budget: q+out proj, k+v proj over
+    # n_in 8-dim point features, qk+av (q len 1), fc0 (dd→64), fc1 (64→sh)
     Mf = B * m.fine_budget
-    fine = (2 * Mf * 80 * 80 + 4 * Mf * n_in * 8 * 80
-            + 2 * Mf * 80 * 64 + 2 * Mf * 64 * (m.sh_degree + 1) ** 2 * 3)
+    sh_dim = (m.sh_degree + 1) ** 2 * 3
+    fine = (4 * Mf * dd * dd + 4 * Mf * n_in * 8 * dd + 4 * Mf * n_in * dd
+            + 2 * Mf * dd * 64 + 2 * Mf * 64 * sh_dim)
 
     # rasterizer blend: triangular-matmul cumsums, 2 render passes ×
     # B·n_views views, each ~num_tiles·(budget/chunk) chunk steps
@@ -211,7 +211,23 @@ def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
     blend = ((2 * B * n_views) * chunks
              * 4 * 2 * r.pallas_chunk ** 2 * r.tile ** 2)
 
-    fwd = vit + vol + dec + fine + blend
+    return {"vit": float(vit), "vol": float(vol), "dec": float(dec),
+            "fine": float(fine), "blend": float(blend)}
+
+
+def analytic_model_flops(cfg, B: int, H: int, W: int) -> float:
+    """Matmul-only model FLOPs of ONE fine train step (fwd × 3 for
+    fwd+bwd, the standard MFU convention — remat recompute deliberately
+    EXCLUDED, so the number is comparable across remat policies).
+
+    XLA's compiled cost_analysis undercounts heavily here (scan bodies are
+    counted once, not per trip; Pallas kernels report zero), so MFU from
+    it is meaningless — measured 5.35 TF/step vs ~20 TF analytic at the
+    flagship shape. Covers the matmul-dominated stages: ViT encoder,
+    volume transformer (cross-attn KV over grouped view tokens + MLP +
+    3³ conv), upsampler, coarse/fine decoders, and the blend kernel's
+    triangular-matmul cumsums. Gathers/elementwise excluded."""
+    fwd = sum(analytic_flops_components(cfg, B, H, W).values())
     return 3.0 * fwd
 
 
@@ -329,13 +345,28 @@ def bench_input_pipeline():
                                     "tools"))
     from profile_input_pipeline import ensure_shard, measure
 
-    path = ensure_shard("/tmp/lara_input_bench_512.h5", 24, 512)
+    # 16 scenes keeps one-time shard generation ~30 s on the 1-core host
+    # (cached in /tmp thereafter); 3 epochs ≈ 30-40 s of measurement.
+    path = ensure_shard("/tmp/lara_input_bench16_512.h5", 16, 512)
     workers = min(os.cpu_count() or 1, 8)
-    return measure(path, workers=workers, batch=3, n_group=4, epochs=4)
+    return measure(path, workers=workers, batch=3, n_group=4, epochs=3)
 
 
 def main():
+    """Timeout-proof output discipline (VERDICT r4 item 1): print a COMPLETE
+    JSON result line immediately after the rasterizer bench, then REPRINT it
+    (a strict superset) after each later sub-bench completes. The driver
+    parses the last JSON line of stdout, so a wall-clock kill at any point
+    still leaves every number measured so far on the record. Each optional
+    sub-bench is skipped with a `#` note when the remaining global budget
+    (LARA_BENCH_DEADLINE_S, default 1200 s) can't plausibly cover it."""
     import jax
+
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("LARA_BENCH_DEADLINE_S", "1200"))
+
+    def remaining():
+        return deadline - (time.perf_counter() - t_start)
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/lara_jax_cache")
@@ -344,27 +375,6 @@ def main():
         pass
 
     fwd_fps, fb_fps, cfg, radius_overflow = bench_rasterizer()
-
-    train_step_s = mfu = flops = a_mfu = a_flops = None
-    if os.environ.get("LARA_BENCH_TRAIN", "1") != "0":
-        try:
-            train_step_s, mfu, flops, a_mfu, a_flops = bench_train_step()
-        except Exception as e:  # report the render numbers regardless
-            print(f"# train-step bench failed: {type(e).__name__}: {e}")
-
-    infer_s = None
-    if os.environ.get("LARA_BENCH_INFER", "1") == "1":
-        try:
-            infer_s = bench_infer()
-        except Exception as e:
-            print(f"# infer bench failed: {type(e).__name__}: {e}")
-
-    input_sps = None
-    if os.environ.get("LARA_BENCH_INPUT", "1") == "1":
-        try:
-            input_sps = bench_input_pipeline()
-        except Exception as e:
-            print(f"# input-pipeline bench failed: {type(e).__name__}: {e}")
 
     extra = {
         "fwd_bwd_fps": round(fb_fps, 2),
@@ -382,30 +392,58 @@ def main():
     for env in ("LARA_FLASH", "LARA_REMAT_POLICY"):
         if os.environ.get(env):
             extra[env.lower()] = os.environ[env]
-    if train_step_s is not None:
+
+    def emit():
+        print(json.dumps({
+            "metric": "render_fps_512_524k_surfels",
+            "value": round(fwd_fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fwd_fps / A100_BASELINE_FPS, 3),
+            "extra": extra,
+        }), flush=True)
+
+    emit()  # primary numbers are on the record from here on
+
+    # (sub-bench, env gate, rough wall cost incl. compile, runner)
+    def run_train():
+        train_step_s, mfu, flops, a_mfu, a_flops = bench_train_step()
         extra["train_step_s"] = round(train_step_s, 3)
         extra["train_scenes_per_sec"] = round(3.0 / train_step_s, 3)
-    if mfu is not None:
-        extra["train_mfu_xla"] = round(mfu, 4)
-        extra["train_step_tflops_xla"] = round(flops / 1e12, 2)
-    if a_mfu is not None:
+        if mfu is not None:
+            extra["train_mfu_xla"] = round(mfu, 4)
+            extra["train_step_tflops_xla"] = round(flops / 1e12, 2)
         # analytic matmul-model FLOPs (3x fwd, no remat recompute) — the
         # honest MFU; XLA cost analysis undercounts scan/Pallas bodies
         extra["train_mfu"] = round(a_mfu, 4)
         extra["train_step_tflops_analytic"] = round(a_flops / 1e12, 2)
-    if infer_s is not None:
+
+    def run_infer():
+        infer_s = bench_infer()
         extra["infer_scene_s"] = round(infer_s, 3)
         extra["infer_scenes_per_sec"] = round(1.0 / infer_s, 3)
-    if input_sps is not None:
-        extra["input_scenes_per_sec"] = round(input_sps, 2)
 
-    print(json.dumps({
-        "metric": "render_fps_512_524k_surfels",
-        "value": round(fwd_fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fwd_fps / A100_BASELINE_FPS, 3),
-        "extra": extra,
-    }))
+    def run_input():
+        extra["input_scenes_per_sec"] = round(bench_input_pipeline(), 2)
+
+    stages = [
+        ("train-step", "LARA_BENCH_TRAIN", 420.0, run_train),
+        ("infer", "LARA_BENCH_INFER", 300.0, run_infer),
+        ("input-pipeline", "LARA_BENCH_INPUT", 240.0, run_input),
+    ]
+    for name, env, est_s, runner in stages:
+        if os.environ.get(env, "1") == "0":
+            continue
+        if remaining() < est_s:
+            print(f"# {name} bench skipped: {remaining():.0f}s left "
+                  f"< {est_s:.0f}s estimate (LARA_BENCH_DEADLINE_S)",
+                  flush=True)
+            continue
+        try:
+            runner()
+        except Exception as e:  # report everything measured so far regardless
+            print(f"# {name} bench failed: {type(e).__name__}: {e}",
+                  flush=True)
+        emit()
 
 
 if __name__ == "__main__":
