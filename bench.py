@@ -108,7 +108,8 @@ def bench_rasterizer():
         pallas_batch_tiles={"1": True, "0": False}.get(
             os.environ.get("LARA_BATCH_TILES", ""), r.pallas_batch_tiles),
         pallas_stash_carries={"1": True, "0": False}.get(
-            os.environ.get("LARA_STASH", ""), r.pallas_stash_carries))
+            os.environ.get("LARA_STASH", ""), r.pallas_stash_carries),
+        pallas_cumsum=os.environ.get("LARA_CUMSUM", r.pallas_cumsum))
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)
@@ -387,7 +388,8 @@ def main():
             "tiles_per_step": cfg.pallas_tiles_per_step,
             "bin_mode": cfg.bin_mode,
             "batch_tiles": cfg.pallas_batch_tiles,
-            "stash_carries": cfg.pallas_stash_carries},
+            "stash_carries": cfg.pallas_stash_carries,
+            "cumsum": cfg.pallas_cumsum},
     }
     for env in ("LARA_FLASH", "LARA_REMAT_POLICY"):
         if os.environ.get(env):

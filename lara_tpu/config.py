@@ -98,6 +98,9 @@ class RenderConfig:
     # forward-stashed chunk carries
     pallas_batch_tiles: bool = False
     pallas_stash_carries: bool = True
+    # per-chunk prefix sums: "dot" (triangular fp32 MXU matmuls) or
+    # "shift" (log-step shifted adds) — see RasterizeConfig.pallas_cumsum
+    pallas_cumsum: str = "dot"
 
 
 @dataclasses.dataclass(frozen=True)

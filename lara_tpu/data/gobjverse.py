@@ -69,7 +69,7 @@ class GObjaverseDataset:
         scene_info = self.metas[scene_name]
         view_id = self._sample_views(scene_info)
 
-        from lara_tpu.data.native import composite_rgba
+        from lara_tpu.data.native import composite_rgba, h5_read
 
         imgs, bg_colors, nrms, msks, c2ws, w2cs, ixts = [], [], [], [], [], [], []
         for i, idx in enumerate(view_id):
@@ -79,12 +79,12 @@ class GObjaverseDataset:
                 bg = np.ones(3, np.float32) * self.rng.choice([0.0, 0.5, 1.0])
             bg_colors.append(bg)
 
-            rgba = np.asarray(scene_info[f"image_{idx}"])
+            rgba = h5_read(scene_info[f"image_{idx}"])  # libdeflate fast path
             img, msk = composite_rgba(rgba, bg)  # fused native kernel
             imgs.append(img)
             msks.append(msk)
             if self.cfg.load_normal:
-                nrm = np.asarray(scene_info[f"normal_{idx}"]).astype(np.float32)
+                nrm = h5_read(scene_info[f"normal_{idx}"]).astype(np.float32)
                 nrms.append(nrm / 255.0 * 2.0 - 1.0)
 
             c2w = np.asarray(scene_info[f"c2w_{idx}"], np.float32)

@@ -24,11 +24,15 @@ def _load():
     path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                         "liblara_native.so")
     path = os.path.abspath(path)
-    if not os.path.exists(path):
-        # first-use build (the .so is not checked in): one small TU, ~1 s
+    src = os.path.join(os.path.dirname(path), "lara_native.cpp")
+    stale = (not os.path.exists(path)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(path)))
+    if stale:
+        # first-use / source-newer build: one small TU, ~1 s
         import subprocess
         try:
-            subprocess.run(["make", "-C", os.path.dirname(path)],
+            subprocess.run(["make", "-C", os.path.dirname(path), "-B"],
                            capture_output=True, timeout=120, check=True)
         except Exception:
             pass  # no toolchain → numpy fallbacks
@@ -39,6 +43,10 @@ def _load():
         lib.composite_rgba.argtypes = [u8p, f32p, f32p, u8p, ctypes.c_int64]
         lib.decode_normal.argtypes = [u8p, f32p, f32p, ctypes.c_int64]
         lib.build_rays.argtypes = [f32p, f32p, ctypes.c_int32, ctypes.c_int32, f32p]
+        if hasattr(lib, "inflate_zlib"):
+            lib.inflate_zlib.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                         u8p, ctypes.c_int64]
+            lib.inflate_zlib.restype = ctypes.c_int32
         _LIB = lib
     return _LIB
 
@@ -82,6 +90,49 @@ def decode_normal(nrm_u8: np.ndarray, rot: np.ndarray) -> np.ndarray:
     rot = np.ascontiguousarray(rot, np.float32)
     out = np.empty(nrm_u8.shape, np.float32)
     lib.decode_normal(_up(nrm_u8), _fp(rot), _fp(out), nrm_u8.shape[0] * nrm_u8.shape[1])
+    return out
+
+
+def h5_read(dset) -> np.ndarray:
+    """Read an HDF5 dataset, bypassing the library's filter pipeline when it
+    is plain deflate: pull each chunk's raw bytes (`read_direct_chunk`) and
+    inflate with libdeflate — measured 2-3× zlib, and the inflate call runs
+    GIL-free through ctypes so loader threads decode in parallel
+    (VERDICT r4 item 7; reference feed: train_lightning.py:35-45).
+    Any other layout (uncompressed, shuffle/fletcher32, scalar, or a chunk
+    whose filters were skipped) falls back to the stock h5py read."""
+    lib = _load()
+    try:
+        eligible = (lib is not None and hasattr(lib, "inflate_zlib")
+                    and dset.compression == "gzip"
+                    and not dset.shuffle and not dset.fletcher32
+                    and dset.chunks is not None and dset.shape != ())
+    except Exception:
+        eligible = False
+    if not eligible:
+        return np.asarray(dset)
+
+    shape, chunks, dtype = dset.shape, dset.chunks, dset.dtype
+    out = np.empty(shape, dtype)
+    dsid = dset.id
+    if tuple(chunks) == tuple(shape):  # whole-array chunk: inflate in place
+        _, comp = dsid.read_direct_chunk((0,) * len(shape))
+        if lib.inflate_zlib(comp, len(comp), _up(out), out.nbytes) == 0:
+            return out
+        return np.asarray(dset)
+
+    import itertools
+    tmp = np.empty(chunks, dtype)
+    for off in itertools.product(*[range(0, s, c)
+                                   for s, c in zip(shape, chunks)]):
+        mask, comp = dsid.read_direct_chunk(off)
+        if mask != 0 or lib.inflate_zlib(comp, len(comp),
+                                         _up(tmp), tmp.nbytes) != 0:
+            return np.asarray(dset)
+        spans = [min(c, s - o) for o, s, c in zip(off, shape, chunks)]
+        dst = tuple(slice(o, o + n) for o, n in zip(off, spans))
+        src = tuple(slice(0, n) for n in spans)
+        out[dst] = tmp[src]
     return out
 
 

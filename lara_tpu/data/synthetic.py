@@ -91,10 +91,14 @@ def write_synthetic_h5(path: str, n_scenes: int = 4, n_views: int = 12,
             for i in range(n_views):
                 c2w = _orbit_c2w(radius, azims[i], elevs[i])
                 rgba, normal = render_spheres(c2w, ixt, H, W, spheres)
+                # whole-image chunks: one read_direct_chunk + one libdeflate
+                # inflate per view (lara_tpu.data.native.h5_read fast path)
                 g.create_dataset(f"image_{i}", data=rgba,
-                                 compression=compression)
+                                 compression=compression,
+                                 chunks=rgba.shape if compression else None)
                 g.create_dataset(f"normal_{i}", data=normal,
-                                 compression=compression)
+                                 compression=compression,
+                                 chunks=normal.shape if compression else None)
                 g.create_dataset(f"c2w_{i}", data=c2w)
                 g.create_dataset(f"fov_{i}", data=fov)
             gg = g.create_group("groups")

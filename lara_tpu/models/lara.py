@@ -109,7 +109,8 @@ class LaRaNet(nn.Module):
             pallas_tiles_per_step=r.pallas_tiles_per_step,
             backend=backend, bin_mode=r.bin_mode,
             pallas_batch_tiles=r.pallas_batch_tiles,
-            pallas_stash_carries=r.pallas_stash_carries)
+            pallas_stash_carries=r.pallas_stash_carries,
+            pallas_cumsum=r.pallas_cumsum)
 
     def encode_images(self, imgs: jnp.ndarray, rays_down: jnp.ndarray) -> jnp.ndarray:
         """imgs [BV, H, W, 3], rays_down [BV, h, w, 6] (h = H/16) →

@@ -49,6 +49,22 @@ def _dotf(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _prefix_incl(x):
+    """Inclusive prefix sum along axis -2 (the chunk-entry axis) as
+    log2(C) shifted adds (Hillis–Steele). Replaces a lower-triangular
+    [C,C]@[C,P] fp32-HIGHEST matmul: exact f32 (different addition order
+    only), ~20× fewer ops, and its autodiff transpose is the mirrored
+    shift chain — no MXU multi-pass in either direction."""
+    c = x.shape[-2]
+    d = 1
+    while d < c:
+        shifted = jax.lax.slice_in_dim(x, 0, c - d, axis=-2)
+        zeros = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, d, axis=-2))
+        x = x + jnp.concatenate([zeros, shifted], axis=-2)
+        d *= 2
+    return x
+
+
 def _tiles_per_step(cfg: RasterizeConfig) -> int:
     tpg = min(cfg.pallas_tiles_per_step, cfg.num_tiles)
     while cfg.num_tiles % tpg:
@@ -151,7 +167,8 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     alpha = jnp.where(keep, alpha, 0.0)
 
     log_t = jnp.log1p(-alpha)
-    cum_in = _dotf(tc.l_incl, log_t)
+    shift = cfg.pallas_cumsum == "shift"
+    cum_in = _prefix_incl(log_t) if shift else _dotf(tc.l_incl, log_t)
     t_excl = t_run * jnp.exp(cum_in - log_t)
     live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
     w = jnp.where(live, alpha * t_excl, 0.0)
@@ -167,9 +184,15 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     nrm_c = cfg.dist_far / (cfg.dist_far - cfg.dist_near)
     m = nrm_c * (1.0 - cfg.dist_near / jnp.maximum(depth, 1e-6))
     m = jnp.where(w > 0.0, m, 0.0)
-    a_excl = a_run + _dotf(tc.l_excl, w)
-    m1_excl = m1_run + _dotf(tc.l_excl, w * m)
-    m2_excl = m2_run + _dotf(tc.l_excl, w * m * m)
+    wm, wm2 = w * m, w * m * m
+    if shift:
+        a_excl = a_run + (_prefix_incl(w) - w)
+        m1_excl = m1_run + (_prefix_incl(wm) - wm)
+        m2_excl = m2_run + (_prefix_incl(wm2) - wm2)
+    else:
+        a_excl = a_run + _dotf(tc.l_excl, w)
+        m1_excl = m1_run + _dotf(tc.l_excl, wm)
+        m2_excl = m2_run + _dotf(tc.l_excl, wm2)
     dist = ssum(w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl))
 
     new_carry = (

@@ -81,6 +81,13 @@ class RasterizeConfig:
     #          reference's radix sort (SURVEY §2.3 step 3) has no MXU to
     #          lean on — this is the TPU-shaped replacement.
     bin_mode: str = "sort"
+    # Per-chunk prefix-sum algorithm inside the Pallas blend kernels
+    # ("dot" | "shift"):
+    #   dot:   [C,C]@[C,P] lower-triangular matmuls (fp32 HIGHEST runs the
+    #          MXU multi-pass — 4 dots ≈ 8.4 MFLOP/chunk);
+    #   shift: log2(C) shifted adds (Hillis–Steele) on the VPU — exact f32,
+    #          ~20× fewer ops; same values up to addition order.
+    pallas_cumsum: str = "dot"
 
     def __post_init__(self):
         assert self.height % self.tile == 0 and self.width % self.tile == 0, (

@@ -13,7 +13,31 @@
 #include <cstdint>
 #include <cmath>
 
+#include <libdeflate.h>
+
 extern "C" {
+
+// Inflate one zlib (RFC1950) stream — the payload of an HDF5 "gzip"
+// (deflate-filter) chunk — into a caller-sized buffer. libdeflate measures
+// 2-3× faster than the zlib inside HDF5's filter pipeline, and the whole
+// call runs GIL-free through ctypes, so loader threads decode in parallel
+// on multi-core hosts (VERDICT r4 item 7: decompression was the measured
+// input-pipeline limiter, dataLoader feed of train_lightning.py:35-45).
+// Returns 0 on success (exact output size), nonzero on any mismatch.
+int32_t inflate_zlib(const uint8_t* in, int64_t in_len,
+                     uint8_t* out, int64_t out_len) {
+    static thread_local struct libdeflate_decompressor* dec = nullptr;
+    if (dec == nullptr) {
+        dec = libdeflate_alloc_decompressor();
+        if (dec == nullptr) return 1;
+    }
+    size_t actual = 0;
+    enum libdeflate_result r = libdeflate_zlib_decompress(
+        dec, in, static_cast<size_t>(in_len),
+        out, static_cast<size_t>(out_len), &actual);
+    return (r == LIBDEFLATE_SUCCESS &&
+            static_cast<int64_t>(actual) == out_len) ? 0 : 1;
+}
 
 // RGBA u8 [h*w*4] → float RGB composited onto bg, plus u8 coverage mask.
 // Mirrors dataLoader/gobjverse.py:127-141 in one pass.

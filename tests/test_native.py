@@ -42,3 +42,26 @@ def test_build_rays_matches_numpy():
     got = nv.build_rays_single(c2w, ixt, 16, 24)
     ref = build_rays_np(c2w[None], ixt[None], 16, 24, 1.0)[0]
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@requires_native
+def test_h5_read_matches_h5py(tmp_path):
+    """libdeflate direct-chunk reads must be byte-identical to h5py across
+    whole-shape chunks, auto chunks (partial edge chunks), and must fall
+    back cleanly on layouts it does not handle (shuffle, uncompressed)."""
+    import h5py
+
+    rng = np.random.default_rng(2)
+    a = (rng.uniform(size=(37, 23, 4)) * 255).astype(np.uint8)
+    b = rng.normal(size=(50, 17)).astype(np.float32)
+    path = tmp_path / "t.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("whole", data=a, compression="gzip", chunks=a.shape)
+        f.create_dataset("auto", data=a, compression="gzip", chunks=(13, 9, 3))
+        f.create_dataset("f32", data=b, compression="gzip", chunks=(16, 16))
+        f.create_dataset("shuffled", data=a, compression="gzip", shuffle=True)
+        f.create_dataset("plain", data=a)
+    with h5py.File(path, "r") as f:
+        for k in ("whole", "auto", "f32", "shuffled", "plain"):
+            np.testing.assert_array_equal(nv.h5_read(f[k]), np.asarray(f[k]),
+                                          err_msg=k)

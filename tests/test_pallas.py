@@ -101,16 +101,19 @@ def test_pallas_gradients_match_tiled(monkeypatch):
                                    atol=5e-4, rtol=1e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("chunk,tpg", [(32, 1), (64, 2), (64, 4)])
-def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg):
-    """pallas_chunk / pallas_tiles_per_step must not change values or grads."""
+@pytest.mark.parametrize("chunk,tpg,cumsum", [
+    (32, 1, "dot"), (64, 2, "dot"), (64, 4, "dot"),
+    (32, 1, "shift"), (64, 4, "shift")])
+def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg, cumsum):
+    """pallas_chunk / pallas_tiles_per_step / pallas_cumsum must not change
+    values or grads (shift mode reassociates additions — tolerance-level)."""
     pb, orig, patched = _pallas_interpret()
     monkeypatch.setattr(pb.pl, "pallas_call", patched)
     from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
 
     cfg = make_cfg(tile_budget=64, dup=2, backend="pallas",
                    pallas_chunk=chunk, pallas_tiles_per_step=tpg,
-                   visible_budget=256)
+                   pallas_cumsum=cumsum, visible_budget=256)
     cam = front_camera()
     means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(7), 150)
     bg = jnp.array([0.3, 0.3, 0.3])

@@ -54,6 +54,7 @@ def make_timed_render(trials=3):
         pallas_tiles_per_step=r.pallas_tiles_per_step,
         pallas_batch_tiles=r.pallas_batch_tiles,
         pallas_stash_carries=r.pallas_stash_carries,
+        pallas_cumsum=r.pallas_cumsum,
         bin_mode=r.bin_mode, backend="pallas")
 
     means, shs, op_raw, sc_raw, quats = lara_workload()

@@ -61,8 +61,12 @@ def pack_scene(h5_group, scene_dir):
     kept = [i for i in range(N_VIEWS) if i not in SKIP_VIEWS]
     for out_i, idx in enumerate(kept):
         rgba, normal, c2w, fov = decode_view(None, scene_dir, idx)
-        h5_group.create_dataset(f"image_{out_i}", data=rgba, compression="gzip")
-        h5_group.create_dataset(f"normal_{out_i}", data=normal, compression="gzip")
+        # whole-image chunks → single read_direct_chunk + libdeflate inflate
+        # per view at load time (lara_tpu.data.native.h5_read)
+        h5_group.create_dataset(f"image_{out_i}", data=rgba,
+                                compression="gzip", chunks=rgba.shape)
+        h5_group.create_dataset(f"normal_{out_i}", data=normal,
+                                compression="gzip", chunks=normal.shape)
         h5_group.create_dataset(f"c2w_{out_i}", data=c2w)
         h5_group.create_dataset(f"fov_{out_i}", data=fov)
         positions.append(c2w[:3, 3])
