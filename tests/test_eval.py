@@ -291,3 +291,99 @@ def test_evaluate_dp_sharded_matches_single(tmp_path):
     assert m1["scenes"] == m2["scenes"]
     np.testing.assert_allclose(m2["psnr"], m1["psnr"], rtol=0, atol=5e-3)
     np.testing.assert_allclose(m2["ssim"], m1["ssim"], rtol=0, atol=5e-3)
+
+
+def test_lpips_features_match_torch_forward():
+    """Pin the JAX VGG/Alex feature stacks to torch's own conv/pool math on
+    random weights routed through tools/convert_lpips.py's layout transpose
+    — the layer where converter-fidelity bugs live (OIHW→HWIO, SAME vs
+    padding=1, pool window semantics). The reference metric runs torchvision
+    kernels (evaluation.py:48-49); real-weight evidence is environment-bound
+    (no torchvision/weights in the container) — see
+    tools/make_lpips_golden.py + test_lpips_golden_fixture."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from lara_tpu.eval import lpips as L
+
+    torch.manual_seed(3)
+    x = torch.rand(1, 3, 17, 19) * 2 - 1
+
+    # VGG-style: two stages (conv64, conv64, pool, conv128, pool)
+    cfg = [64, 64, "M", 128, "M"]
+    params, t = [], x
+    feats_t = []
+    cin = 3
+    for v in cfg:
+        if v == "M":
+            feats_t.append(t)
+            t = F.max_pool2d(t, 2, 2)
+        else:
+            w = torch.randn(v, cin, 3, 3) * 0.05
+            b = torch.randn(v) * 0.01
+            t = F.relu(F.conv2d(t, w, b, padding=1))
+            params.append((jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                           jnp.asarray(b.numpy())))
+            cin = v
+    orig_cfg = L._VGG_CFG
+    L._VGG_CFG = cfg
+    try:
+        feats_j = L._vgg_features(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    finally:
+        L._VGG_CFG = orig_cfg
+    assert len(feats_j) == len(feats_t)
+    for fj, ft in zip(feats_j, feats_t):
+        np.testing.assert_allclose(np.asarray(fj),
+                                   ft.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-5)
+
+    # Alex-style head: conv k11 s4 p2, then a second conv past the k3 s2
+    # pool (the non-SAME geometry + odd-size floor pooling)
+    xa = torch.rand(1, 3, 35, 35)
+    w1 = torch.randn(8, 3, 11, 11) * 0.05
+    b1 = torch.randn(8) * 0.01
+    w2 = torch.randn(12, 8, 5, 5) * 0.05
+    b2 = torch.randn(12) * 0.01
+    t1 = F.relu(F.conv2d(xa, w1, b1, stride=4, padding=2))
+    t2 = F.relu(F.conv2d(F.max_pool2d(t1, 3, 2), w2, b2, padding=2))
+    orig_alex = L._ALEX_CFG
+    L._ALEX_CFG = [(8, 11, 4, 2), "M", (12, 5, 1, 2)]
+    try:
+        fa = L._alex_features(
+            [(jnp.asarray(w1.numpy().transpose(2, 3, 1, 0)), jnp.asarray(b1.numpy())),
+             (jnp.asarray(w2.numpy().transpose(2, 3, 1, 0)), jnp.asarray(b2.numpy()))],
+            jnp.asarray(xa.numpy().transpose(0, 2, 3, 1)))
+    finally:
+        L._ALEX_CFG = orig_alex
+    np.testing.assert_allclose(np.asarray(fa[0]),
+                               t1.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fa[1]),
+                               t2.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_lpips_golden_fixture():
+    """Replay the real-weights golden fixture (tools/make_lpips_golden.py)
+    through the JAX conv stack; skipped until the fixture is provisioned
+    offline (weights/fixtures/lpips_golden.npz — zero-egress container)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    fix = os.path.join(os.path.dirname(__file__), "..",
+                       "weights", "fixtures", "lpips_golden.npz")
+    if not os.path.exists(fix):
+        pytest.skip("real-weight LPIPS fixture not provisioned (no egress)")
+    data = np.load(fix)
+    w = jnp.asarray(data["conv0_w"].transpose(2, 3, 1, 0))
+    b = jnp.asarray(data["conv0_b"])
+    x = jnp.asarray(data["conv0_in"].transpose(0, 2, 3, 1))
+    y = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+    np.testing.assert_allclose(np.asarray(y),
+                               data["conv0_out"].transpose(0, 2, 3, 1),
+                               atol=1e-5)
