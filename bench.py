@@ -266,6 +266,8 @@ def bench_train_step():
     if os.environ.get("LARA_STASH", "") in ("0", "1"):
         r = dataclasses.replace(
             r, pallas_stash_carries=os.environ["LARA_STASH"] == "1")
+    if os.environ.get("LARA_CUMSUM", ""):
+        r = dataclasses.replace(r, pallas_cumsum=os.environ["LARA_CUMSUM"])
     if m is not cfg.model or r is not cfg.render:
         cfg = dataclasses.replace(cfg, model=m, render=r)
     net = LaRaNet(cfg)

@@ -119,6 +119,6 @@ class SyntheticDataset(GObjaverseDataset):
 
         if not os.path.exists(cfg.data_root):
             os.makedirs(os.path.dirname(cfg.data_root) or ".", exist_ok=True)
-            write_synthetic_h5(cfg.data_root, n_scenes=max(4, min(cfg.n_scenes, 64)),
+            write_synthetic_h5(cfg.data_root, n_scenes=max(4, min(cfg.n_scenes, 256)),
                                img_size=tuple(cfg.img_size))
         super().__init__(cfg, rng=rng)
