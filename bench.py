@@ -204,13 +204,18 @@ def analytic_flops_components(cfg, B: int, H: int, W: int):
             + 2 * Mf * dd * 64 + 2 * Mf * 64 * sh_dim)
 
     # rasterizer blend: triangular-matmul cumsums, 2 render passes ×
-    # B·n_views views, each ~num_tiles·(budget/chunk) chunk steps
+    # B·n_views views, each ~num_tiles·(budget/chunk) chunk steps.
+    # pallas_cumsum="shift" replaces the dots with shifted adds — zero
+    # matmul FLOPs, so the blend term drops out of the MFU denominator.
     r = cfg.render
-    tiles = (H // r.tile) * (W // r.tile)
-    chunks = tiles * max(1, r.tile_budget // r.pallas_chunk)
-    # per chunk step: 4 triangular dots of [C,C]@[C,P], P = tile² pixels
-    blend = ((2 * B * n_views) * chunks
-             * 4 * 2 * r.pallas_chunk ** 2 * r.tile ** 2)
+    if r.pallas_cumsum == "shift":
+        blend = 0.0
+    else:
+        tiles = (H // r.tile) * (W // r.tile)
+        chunks = tiles * max(1, r.tile_budget // r.pallas_chunk)
+        # per chunk step: 4 triangular dots of [C,C]@[C,P], P = tile² pixels
+        blend = ((2 * B * n_views) * chunks
+                 * 4 * 2 * r.pallas_chunk ** 2 * r.tile ** 2)
 
     return {"vit": float(vit), "vol": float(vol), "dec": float(dec),
             "fine": float(fine), "blend": float(blend)}

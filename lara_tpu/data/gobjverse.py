@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from lara_tpu.config import DatasetConfig
-from lara_tpu.utils.camera import build_rays_np, canonicalize_cameras_np, fov_to_ixt
+from lara_tpu.utils.camera import canonicalize_cameras_np, fov_to_ixt
 
 
 class GObjaverseDataset:
@@ -69,7 +69,8 @@ class GObjaverseDataset:
         scene_info = self.metas[scene_name]
         view_id = self._sample_views(scene_info)
 
-        from lara_tpu.data.native import composite_rgba, h5_read
+        from lara_tpu.data.native import (build_rays_batch, composite_rgba,
+                                          decode_normal, h5_read)
 
         imgs, bg_colors, nrms, msks, c2ws, w2cs, ixts = [], [], [], [], [], [], []
         for i, idx in enumerate(view_id):
@@ -84,8 +85,9 @@ class GObjaverseDataset:
             imgs.append(img)
             msks.append(msk)
             if self.cfg.load_normal:
-                nrm = h5_read(scene_info[f"normal_{idx}"]).astype(np.float32)
-                nrms.append(nrm / 255.0 * 2.0 - 1.0)
+                # raw u8 — decoded+rotated in ONE native pass after the
+                # canonicalization transform is known (decode_normal)
+                nrms.append(h5_read(scene_info[f"normal_{idx}"]))
 
             c2w = np.asarray(scene_info[f"c2w_{idx}"], np.float32)
             fov = np.asarray(scene_info[f"fov_{idx}"], np.float32)
@@ -117,9 +119,9 @@ class GObjaverseDataset:
                      "tar_h": H, "tar_w": W},
         }
         if self.cfg.load_normal:
-            nrm = np.stack(nrms) @ transform_mats[0, :3, :3].T
-            ret["tar_nrm"] = nrm.astype(np.float32)
+            rot = np.ascontiguousarray(transform_mats[0, :3, :3], np.float32)
+            ret["tar_nrm"] = np.stack([decode_normal(n, rot) for n in nrms])
 
-        ret["tar_rays"] = build_rays_np(tar_c2ws, tar_ixts, H, W, 1.0)
-        ret["tar_rays_down"] = build_rays_np(tar_c2ws, tar_ixts, H, W, 1.0 / 16)
+        ret["tar_rays"] = build_rays_batch(tar_c2ws, tar_ixts, H, W, 1.0)
+        ret["tar_rays_down"] = build_rays_batch(tar_c2ws, tar_ixts, H, W, 1.0 / 16)
         return ret

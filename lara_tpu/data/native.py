@@ -136,6 +136,28 @@ def h5_read(dset) -> np.ndarray:
     return out
 
 
+def build_rays_batch(c2ws: np.ndarray, ixts: np.ndarray, H: int, W: int,
+                     scale: float = 1.0) -> np.ndarray:
+    """[V] views of per-pixel rays [V,H·s,W·s,6] through the native kernel
+    (one fused pass per view, no einsum intermediates — numpy's einsum ray
+    build measured 72% of per-scene loader time at 512²). Output matches
+    utils.camera.build_rays_np exactly; falls back to it without the lib."""
+    lib = _load()
+    if lib is None:
+        from lara_tpu.utils.camera import build_rays_np
+        return build_rays_np(c2ws, ixts, H, W, scale)
+    h2, w2 = int(H * scale), int(W * scale)
+    ixts = np.array(ixts, np.float32, copy=True)
+    ixts[:, :2] *= scale
+    v = c2ws.shape[0]
+    out = np.empty((v, h2, w2, 6), np.float32)
+    for i in range(v):
+        ixt_inv = np.ascontiguousarray(np.linalg.inv(ixts[i]), np.float32)
+        c2w = np.ascontiguousarray(c2ws[i], np.float32)
+        lib.build_rays(_fp(c2w), _fp(ixt_inv), h2, w2, _fp(out[i]))
+    return out
+
+
 def build_rays_single(c2w: np.ndarray, ixt: np.ndarray, H: int, W: int) -> np.ndarray:
     """One view's rays [H,W,6] (native or numpy fallback)."""
     lib = _load()

@@ -129,10 +129,13 @@ def test_fine_decoder_component():
 
 def test_blend_component_counts_kernel_dots():
     """The blend formula models the Pallas kernel's 4 triangular [C,C]@[C,P]
-    dots per chunk step × chunks × 2 passes × B·2n views. Cross-check it
+    dots per chunk step × chunks × 2 passes × B·2n views (dot mode), and
+    drops to zero in shift mode (no MXU dots in the kernel). Cross-check
     against a direct recount from the kernel constants (pallas_blend.py
     _chunk_fn: l_incl cumsum + 3 l_excl moment dots)."""
     cfg = Config(n_views=4)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, pallas_cumsum="dot"))
     B, H = 3, 512
     r = cfg.render
     comps = bench.analytic_flops_components(cfg, B, H, H)
@@ -141,6 +144,10 @@ def test_blend_component_counts_kernel_dots():
     per_dot = 2 * r.pallas_chunk ** 2 * r.tile ** 2
     expect = 2 * B * 2 * cfg.n_views * chunk_steps * 4 * per_dot
     assert comps["blend"] == pytest.approx(expect, rel=1e-9)
+
+    shift_cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, pallas_cumsum="shift"))
+    assert bench.analytic_flops_components(shift_cfg, B, H, H)["blend"] == 0.0
 
 
 def test_total_is_3x_forward_sum():
