@@ -104,9 +104,8 @@ def bench_rasterizer():
             "LARA_TILES_PER_STEP", r.pallas_tiles_per_step)),
         backend="pallas",
         bin_mode=os.environ.get("LARA_BIN_MODE", r.bin_mode),
+        pack_mode=os.environ.get("LARA_PACK_MODE", r.pack_mode),
         # env vars override in BOTH directions; unset → RenderConfig default
-        pallas_batch_tiles={"1": True, "0": False}.get(
-            os.environ.get("LARA_BATCH_TILES", ""), r.pallas_batch_tiles),
         pallas_stash_carries={"1": True, "0": False}.get(
             os.environ.get("LARA_STASH", ""), r.pallas_stash_carries),
         pallas_cumsum=os.environ.get("LARA_CUMSUM", r.pallas_cumsum))
@@ -208,7 +207,7 @@ def analytic_flops_components(cfg, B: int, H: int, W: int):
     # pallas_cumsum="shift" replaces the dots with shifted adds — zero
     # matmul FLOPs, so the blend term drops out of the MFU denominator.
     r = cfg.render
-    if r.pallas_cumsum == "shift":
+    if r.pallas_cumsum in ("shift", "prod"):
         blend = 0.0
     else:
         tiles = (H // r.tile) * (W // r.tile)
@@ -265,9 +264,8 @@ def bench_train_step():
     r = cfg.render
     if os.environ.get("LARA_BIN_MODE", ""):
         r = dataclasses.replace(r, bin_mode=os.environ["LARA_BIN_MODE"])
-    if os.environ.get("LARA_BATCH_TILES", "") in ("0", "1"):
-        r = dataclasses.replace(
-            r, pallas_batch_tiles=os.environ["LARA_BATCH_TILES"] == "1")
+    if os.environ.get("LARA_PACK_MODE", ""):
+        r = dataclasses.replace(r, pack_mode=os.environ["LARA_PACK_MODE"])
     if os.environ.get("LARA_STASH", "") in ("0", "1"):
         r = dataclasses.replace(
             r, pallas_stash_carries=os.environ["LARA_STASH"] == "1")
@@ -340,13 +338,13 @@ def bench_input_pipeline():
     (VERDICT r3 #6); LARA_BENCH_INPUT=0 skips the ~2 min of host-side
     shard generation + measurement.
     Worker count adapts to the host: on this container's single core,
-    extra threads only contend on the GIL'd gzip decode (quiet-host sweep:
-    1 worker 1.29 scenes/s, 4/8 workers 0.81/0.82), so we run
-    min(cpu_count, 8) workers and report the per-host optimum. Caveats:
-    synthetic sphere images gzip smaller than real photos (real decode is
-    somewhat slower), and the single-core margin over the TPU consumption
-    rate (1.15 scenes/s) is only ~1.1× — production TPU-VM hosts have
-    96-240 cores and scale linearly with workers."""
+    extra threads only contend (round-4 quiet-host sweep: 1 worker best),
+    so we run min(cpu_count, 8) workers and report the per-host optimum.
+    Round 5 moved gzip inflate to libdeflate via HDF5 direct-chunk reads
+    (GIL released in C) and batched ray building into the native kernels:
+    quiet single-core 3.53 scenes/s vs TPU consumption 1.15 = 3.1× margin
+    (was 1.29 / 1.1×). Caveat: synthetic sphere images gzip smaller than
+    real photos (real decode is somewhat slower)."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -394,7 +392,7 @@ def main():
             "pallas_chunk": cfg.pallas_chunk,
             "tiles_per_step": cfg.pallas_tiles_per_step,
             "bin_mode": cfg.bin_mode,
-            "batch_tiles": cfg.pallas_batch_tiles,
+            "pack_mode": cfg.pack_mode,
             "stash_carries": cfg.pallas_stash_carries,
             "cumsum": cfg.pallas_cumsum},
     }

@@ -93,14 +93,17 @@ class RenderConfig:
     # tile-window construction: "sort" (9V-key lax.sort) or "count"
     # (MXU counting sort) — see RasterizeConfig.bin_mode
     bin_mode: str = "sort"
+    # depth-compaction data movement: "gather" (wide row gather into depth
+    # order; measured faster) or "fused" (no pack row gather) — see
+    # RasterizeConfig.pack_mode
+    pack_mode: str = "gather"
     # pallas blend kernel levers (see ops/rasterizer/pallas_blend.py):
-    # one shared chunk loop per grid step / replay-free backward from
-    # forward-stashed chunk carries
-    pallas_batch_tiles: bool = False
+    # replay-free backward from forward-stashed chunk carries
     pallas_stash_carries: bool = True
-    # per-chunk prefix sums: "dot" (triangular fp32 MXU matmuls) or
-    # "shift" (log-step shifted adds) — see RasterizeConfig.pallas_cumsum
-    pallas_cumsum: str = "dot"
+    # per-chunk prefix scans: "dot" (triangular fp32 MXU matmuls), "shift"
+    # (log-step shifted adds) or "prod" (shift + multiplicative
+    # transmittance) — see RasterizeConfig.pallas_cumsum
+    pallas_cumsum: str = "shift"
 
 
 @dataclasses.dataclass(frozen=True)

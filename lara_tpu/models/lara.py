@@ -107,8 +107,7 @@ class LaRaNet(nn.Module):
             visible_budget=r.visible_budget if train else r.eval_visible_budget,
             pallas_chunk=min(r.pallas_chunk, budget),
             pallas_tiles_per_step=r.pallas_tiles_per_step,
-            backend=backend, bin_mode=r.bin_mode,
-            pallas_batch_tiles=r.pallas_batch_tiles,
+            backend=backend, bin_mode=r.bin_mode, pack_mode=r.pack_mode,
             pallas_stash_carries=r.pallas_stash_carries,
             pallas_cumsum=r.pallas_cumsum)
 

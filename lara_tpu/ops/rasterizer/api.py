@@ -98,7 +98,7 @@ def rasterize_rebind(
     @jax.checkpoint
     def _packed(m3, sh, op, sc, rot):
         g = preprocess_surfels(m3, sh, op, sc, rot, camera, cfg)
-        return repack_from_binned(g, binned)
+        return repack_from_binned(g, binned, cfg)
 
     packed = _packed(means3d, shs, opacities, scales, rotations)
 

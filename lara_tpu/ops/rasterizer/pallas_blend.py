@@ -41,10 +41,6 @@ PACK_COLS = 13
 
 
 def _dotf(a, b):
-    if b.ndim == 3:
-        # per-tile 2D dots (Mosaic's MXU path wants plain 2D matmuls;
-        # the batch extent is the static tiles_per_step — tiny unroll)
-        return jnp.stack([_dotf(a, b[i]) for i in range(b.shape[0])])
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -61,6 +57,26 @@ def _prefix_incl(x):
         shifted = jax.lax.slice_in_dim(x, 0, c - d, axis=-2)
         zeros = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, d, axis=-2))
         x = x + jnp.concatenate([zeros, shifted], axis=-2)
+        d *= 2
+    return x
+
+
+def _prefix_excl_prod(x):
+    """EXCLUSIVE prefix product along axis -2 via Hillis–Steele shifted
+    multiplies. Used by pallas_cumsum="prod" to track transmittance
+    multiplicatively (T ← T·(1−α), exactly the CUDA loop's recurrence) —
+    eliminates the log1p and the exp(cumsum) of the log-domain
+    formulation: 2 of the 3 transcendentals per entry-pixel, in the
+    forward AND in its VJP."""
+    c = x.shape[-2]
+    one = jnp.ones_like(jax.lax.slice_in_dim(x, 0, 1, axis=-2))
+    x = jnp.concatenate([one, jax.lax.slice_in_dim(x, 0, c - 1, axis=-2)],
+                        axis=-2)
+    d = 1
+    while d < c:
+        shifted = jax.lax.slice_in_dim(x, 0, c - d, axis=-2)
+        ones = jnp.ones_like(jax.lax.slice_in_dim(x, 0, d, axis=-2))
+        x = x * jnp.concatenate([ones, shifted], axis=-2)
         d *= 2
     return x
 
@@ -85,15 +101,23 @@ class _TileConsts(NamedTuple):
 
 
 def _tile_consts(t, scalars_ref, cfg: RasterizeConfig) -> _TileConsts:
-    """Per-tile constants. `t` is a scalar tile id (px/py/dx/dy come out
-    [1, P]) or a [tpg] vector (batched kernels; [tpg, 1, P])."""
+    """Per-tile constants for scalar tile id `t` (px/py/dx/dy are [1, P]).
+
+    There is deliberately NO tiles-per-step-batched variant: a kernel
+    sharing one chunk while_loop across [tpg, C, P] tensors needs per-tile
+    count vectors shaped [tpg, 1, 1], and every construction of those hits
+    a Mosaic lowering bug on real TPU (jnp.stack(...).reshape is rejected
+    by infer-vector-layout as `vector<tpg xi32> -> vector<tpg x1x1xi32>`;
+    the splat+select workaround trips `layout.h:320 Check failed:
+    arr.size() >= layout_rank(implicit_dim)` and SIGABRTs the compiler).
+    Interpret-mode parity always passed, but a mode that cannot compile on
+    hardware must not ship — and the measured tiles_per_step sweep was
+    flat (2/4/8/16), so the batching had no demonstrated upside."""
     p = cfg.tile * cfg.tile
     c = cfg.pallas_chunk
     tanx, tany = scalars_ref[0], scalars_ref[1]
     ty = (t // cfg.tiles_x).astype(jnp.float32)
     tx = (t % cfg.tiles_x).astype(jnp.float32)
-    if jnp.ndim(t) == 1:
-        ty, tx = ty[:, None, None], tx[:, None, None]
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     pi = (pid // cfg.tile).astype(jnp.float32)
     pj = (pid % cfg.tile).astype(jnp.float32)
@@ -166,15 +190,28 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     keep = (alpha >= cfg.alpha_min) & (depth >= cfg.near_cull) & gvalid & evalid
     alpha = jnp.where(keep, alpha, 0.0)
 
-    log_t = jnp.log1p(-alpha)
-    shift = cfg.pallas_cumsum == "shift"
-    cum_in = _prefix_incl(log_t) if shift else _dotf(tc.l_incl, log_t)
-    t_excl = t_run * jnp.exp(cum_in - log_t)
-    live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
-    w = jnp.where(live, alpha * t_excl, 0.0)
-
     def ssum(x):
         return jnp.sum(x, -2, keepdims=True)
+
+    shift = cfg.pallas_cumsum in ("shift", "prod")
+    if cfg.pallas_cumsum == "prod":
+        # multiplicative transmittance (the CUDA recurrence T ← T·(1−α)):
+        # no log1p, no exp-of-cumsum — the Gaussian exp is the only
+        # transcendental left per entry-pixel
+        one_m = 1.0 - alpha
+        t_excl = t_run * _prefix_excl_prod(one_m)
+        t_out = t_excl * one_m  # inclusive: reused for carry-out row below
+        live = t_out >= cfg.transmittance_min
+        w = jnp.where(live, alpha * t_excl, 0.0)
+        new_t_run = jax.lax.slice_in_dim(t_out, one_m.shape[-2] - 1,
+                                         one_m.shape[-2], axis=-2)
+    else:
+        log_t = jnp.log1p(-alpha)
+        cum_in = _prefix_incl(log_t) if shift else _dotf(tc.l_incl, log_t)
+        t_excl = t_run * jnp.exp(cum_in - log_t)
+        live = t_excl * (1.0 - alpha) >= cfg.transmittance_min
+        w = jnp.where(live, alpha * t_excl, 0.0)
+        new_t_run = t_run * jnp.exp(ssum(log_t))
 
     img_r, img_g, img_b = ssum(w * rr), ssum(w * gg), ssum(w * bb)
     a_add = ssum(w)
@@ -196,7 +233,7 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     dist = ssum(w * (m * m * a_excl + m2_excl - 2.0 * m * m1_excl))
 
     new_carry = (
-        t_run * jnp.exp(ssum(log_t)),
+        new_t_run,
         a_run + a_add,
         m1_run + ssum(w * m),
         m2_run + ssum(w * m * m),
@@ -206,10 +243,9 @@ def _chunk_fn(rows, carry, k0, n, tc: _TileConsts, cfg: RasterizeConfig):
     return new_carry, partials, aux
 
 
-def _init_carry(p, tpg=None):
-    shape = (1, p) if tpg is None else (tpg, 1, p)
-    zero = jnp.zeros(shape, jnp.float32)
-    return (jnp.ones(shape, jnp.float32), zero, zero, zero)
+def _init_carry(p):
+    zero = jnp.zeros((1, p), jnp.float32)
+    return (jnp.ones((1, p), jnp.float32), zero, zero, zero)
 
 
 def _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
@@ -270,124 +306,6 @@ def _fwd_kernel(counts_ref, scalars_ref, entries_ref, out_ref,
         t = pl.program_id(0) * tpg + ts
         _fwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, out_ref,
                       cfg, carr_ref)
-
-
-def _fwd_kernel_batched(counts_ref, scalars_ref, entries_ref, out_ref,
-                        carr_ref=None, *, cfg: RasterizeConfig, tpg: int):
-    """All `tpg` tiles of the grid step share ONE chunk while_loop: the
-    rank-polymorphic _chunk_fn runs on [tpg, C, P] tensors, so the
-    sequential loop-iteration count drops by tpg; a tile that exhausted
-    its own entries (evalid) or saturated (live) contributes exactly zero
-    while the others finish — identical outputs."""
-    p = cfg.tile * cfg.tile
-    chunk = cfg.pallas_chunk
-    blk = pl.program_id(0)
-    t0 = blk * tpg
-    n_b = jnp.stack([jnp.minimum(counts_ref[t0 + i], cfg.tile_budget)
-                     for i in range(tpg)]).reshape(tpg, 1, 1)
-    tvec = t0 + jax.lax.broadcasted_iota(jnp.int32, (tpg, 1, 1), 0)
-    tc = _tile_consts(tvec, scalars_ref, cfg)
-    zero = jnp.zeros((tpg, 1, p), jnp.float32)
-
-    def body(state):
-        ci, carry, acc, med = state
-        if carr_ref is not None:
-            for j in range(4):
-                carr_ref[:, ci, j, :] = carry[j][:, 0, :]
-        k0 = ci * chunk
-        rows = entries_ref[:, pl.ds(k0, chunk), :]             # [tpg, C, 13]
-        new_carry, partials, (t_excl, w, depth) = _chunk_fn(
-            rows, carry, k0, n_b, tc, cfg)
-        acc = tuple(a + pa for a, pa in zip(acc, partials))
-        mmask = (t_excl > 0.5) & (w > 0.0)
-        midx = jnp.max(jnp.where(mmask, tc.kk, -1), -2, keepdims=True)
-        dsel = jnp.sum((tc.kk == midx).astype(jnp.float32) * depth, -2,
-                       keepdims=True)
-        med = jnp.where(midx >= 0, dsel, med)
-        return ci + 1, new_carry, acc, med
-
-    def cond(state):
-        ci, carry = state[0], state[1]
-        tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
-        alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
-        return jnp.any(alive)
-
-    init = (jnp.int32(0), _init_carry(p, tpg),
-            tuple(zero for _ in range(9)), zero)
-    n_done, _, acc, med = jax.lax.while_loop(cond, body, init)
-    img_r, img_g, img_b, a_acc, dsum, nx, ny, nz, dist = acc
-    chans = (img_r, img_g, img_b, a_acc, dsum, med, nx, ny, nz, dist)
-    for c, arr in enumerate(chans):
-        out_ref[:, c, :] = arr[:, 0, :]
-    if carr_ref is not None:
-        out_ref[:, NUM_CHANNELS, :] = jnp.full(
-            (tpg, p), 1.0) * n_done.astype(jnp.float32)
-
-
-def _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
-                        grad_ref, carry_scr, *, cfg: RasterizeConfig,
-                        tpg: int, ndone_ref=None, carr_ref=None):
-    """Batched counterpart of _bwd_one_tile: one shared replay while_loop
-    + one reverse fori_loop for all tpg tiles. Chunks past a tile's own
-    early exit produce exactly-zero d_rows (w == 0 cuts every gradient
-    path), so replaying to the block-wide max chunk count changes
-    nothing."""
-    p = cfg.tile * cfg.tile
-    chunk = cfg.pallas_chunk
-    k_budget = cfg.tile_budget
-    blk = pl.program_id(0)
-    t0 = blk * tpg
-    n_b = jnp.stack([jnp.minimum(counts_ref[t0 + i], k_budget)
-                     for i in range(tpg)]).reshape(tpg, 1, 1)
-    tvec = t0 + jax.lax.broadcasted_iota(jnp.int32, (tpg, 1, 1), 0)
-    tc = _tile_consts(tvec, scalars_ref, cfg)
-
-    grad_ref[:, :, :] = jnp.zeros((tpg, k_budget, PACK_COLS), jnp.float32)
-
-    if carr_ref is None:
-        def fbody(state):
-            ci, carry = state
-            for j in range(4):
-                carry_scr[ci, :, j, :] = carry[j][:, 0, :]
-            rows = entries_ref[:, pl.ds(ci * chunk, chunk), :]
-            new_carry, _, _ = _chunk_fn(rows, carry, ci * chunk, n_b, tc, cfg)
-            return ci + 1, new_carry
-
-        def fcond(state):
-            ci, carry = state
-            tmax = jnp.max(carry[0], (-2, -1), keepdims=True)
-            alive = (ci * chunk < n_b) & (tmax >= cfg.transmittance_min)
-            return jnp.any(alive)
-
-        n_done, _ = jax.lax.while_loop(fcond, fbody,
-                                       (jnp.int32(0), _init_carry(p, tpg)))
-    else:
-        # replay-free: the forward stashed every chunk's carry-in and its
-        # processed-chunk count (same for all tiles of the block)
-        n_done = ndone_ref[t0]
-
-    cot = tuple(cot_ref[:, c, :][:, None, :] for c in (0, 1, 2, 3, 4, 6, 7, 8, 9))
-
-    def bbody(ci_rev, d_carry):
-        ci = n_done - 1 - ci_rev
-        k0 = ci * chunk
-        rows = entries_ref[:, pl.ds(k0, chunk), :]
-        if carr_ref is None:
-            carry = tuple(carry_scr[ci, :, j, :][:, None, :] for j in range(4))
-        else:
-            carry = tuple(carr_ref[:, ci, j, :][:, None, :] for j in range(4))
-
-        def f(r, c):
-            new_carry, partials, _ = _chunk_fn(r, c, k0, n_b, tc, cfg)
-            return new_carry, partials
-
-        _, vjp_fn = jax.vjp(f, rows, carry)
-        d_rows, d_carry_in = vjp_fn((d_carry, cot))
-        grad_ref[:, pl.ds(k0, chunk), :] = d_rows
-        return d_carry_in
-
-    zero = jnp.zeros((tpg, 1, p), jnp.float32)
-    jax.lax.fori_loop(0, n_done, bbody, (zero, zero, zero, zero))
 
 
 def _bwd_one_tile(t, ts, counts_ref, scalars_ref, entries_ref, carry_scr,
@@ -477,14 +395,6 @@ def _bwd_kernel_stash(counts_ref, ndone_ref, scalars_ref, entries_ref,
                       ndone_ref=ndone_ref, carr_ref=carr_ref)
 
 
-def _bwd_kernel_batched_stash(counts_ref, ndone_ref, scalars_ref,
-                              entries_ref, carr_ref, cot_ref, grad_ref, *,
-                              cfg: RasterizeConfig, tpg: int):
-    _bwd_kernel_batched(counts_ref, scalars_ref, entries_ref, cot_ref,
-                        grad_ref, None, cfg=cfg, tpg=tpg,
-                        ndone_ref=ndone_ref, carr_ref=carr_ref)
-
-
 def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig,
              stash: bool = False):
     """Run the forward blend kernel. With `stash`, additionally emits the
@@ -512,11 +422,8 @@ def _run_fwd(entries, counts, scalars, cfg: RasterizeConfig,
                                lambda t, *_: (t, 0, 0))],
         out_specs=out_specs,
     )
-    kern = (functools.partial(_fwd_kernel_batched, cfg=cfg, tpg=tpg)
-            if cfg.pallas_batch_tiles and tpg > 1
-            else functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg))
     return pl.pallas_call(
-        kern,
+        functools.partial(_fwd_kernel, cfg=cfg, tpg=tpg),
         grid_spec=grid_spec,
         out_shape=out_shape,
     )(counts, scalars, entries)
@@ -536,16 +443,11 @@ def _run_bwd(entries, counts, scalars, cot, cfg: RasterizeConfig):
         ],
         out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM(
-            ((max_chunks, tpg, 4, p) if cfg.pallas_batch_tiles and tpg > 1
-             else (max_chunks, 4, p)), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((max_chunks, 4, p), jnp.float32)],
     )
 
-    kern = (functools.partial(_bwd_kernel_batched, cfg=cfg, tpg=tpg)
-            if cfg.pallas_batch_tiles and tpg > 1
-            else functools.partial(_bwd_kernel, cfg=cfg, tpg=tpg))
     return pl.pallas_call(
-        kern,
+        functools.partial(_bwd_kernel, cfg=cfg, tpg=tpg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
                                        jnp.float32),
@@ -570,11 +472,8 @@ def _run_bwd_stash(entries, counts, ndone, scalars, carries, cot,
         out_specs=pl.BlockSpec((tpg, cfg.tile_budget, PACK_COLS),
                                lambda t, *_: (t, 0, 0)),
     )
-    kern = (functools.partial(_bwd_kernel_batched_stash, cfg=cfg, tpg=tpg)
-            if cfg.pallas_batch_tiles and tpg > 1
-            else functools.partial(_bwd_kernel_stash, cfg=cfg, tpg=tpg))
     return pl.pallas_call(
-        kern,
+        functools.partial(_bwd_kernel_stash, cfg=cfg, tpg=tpg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, cfg.tile_budget, PACK_COLS),
                                        jnp.float32),

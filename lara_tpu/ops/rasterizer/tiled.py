@@ -144,12 +144,53 @@ def _pack_tile_bounds(g: ProjectedSurfels, cfg: RasterizeConfig) -> jnp.ndarray:
 
 def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     """Depth-sort surfels, compact to the nearest `visible_budget` valid ones,
-    build packed attributes and the per-tile entry windows. Returns
+    build packed attributes and the per-tile entry windows.
+
+    pack_mode "fused" (default, sort binning only): NO packed-row gather.
+    TPU row gathers are row-count bound (~10 ns/row: the [V, 14] pack
+    gather measured 1.4 ms/view and its backward masked-gather transpose
+    runs over all N rows), so the depth compaction never materializes
+    permuted attribute rows. Instead (a) the bit-packed tile bounds ride
+    the depth sort as a variadic value operand, and (b) the tile windows
+    store ORIGINAL surfel row ids (the window key sort carries them), so
+    the single window gather pulls straight from the un-permuted [N, 13]
+    pack. Returns (packed [N, 13] elementwise, BinnedView with original-id
+    windows).
+
+    pack_mode "gather" (legacy, and always for bin_mode="count" whose
+    slot_pos inverse is defined over compacted rows): one wide [V, 14] row
+    gather into depth order; windows hold compacted indices. Returns
     (packed [V, 13], BinnedView)."""
     n = g.depth.shape[0]
     v = min(cfg.visible_budget, n) if cfg.visible_budget else n
     assert v <= (1 << _GIDX_BITS), "raise _GIDX_BITS for larger surfel sets"
     assert cfg.num_tiles < (1 << 11)
+    from jax.ad_checkpoint import checkpoint_name
+    bounds_all = _pack_tile_bounds(g, cfg)
+    fused = cfg.pack_mode == "fused" and cfg.bin_mode != "count"
+
+    if fused:
+        # ONE variadic stable sort carries (original id, tile bounds) into
+        # depth order — compaction costs two slices, zero gathers.
+        depth_key = jnp.where(g.valid, g.depth, jnp.inf)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, order, bounds_s = jax.lax.sort(
+            (depth_key, iota, bounds_all), num_keys=1, is_stable=True)
+        order_v = jax.lax.slice_in_dim(order, 0, v) if v < n else order
+        bounds_v = jax.lax.slice_in_dim(bounds_s, 0, v) if v < n else bounds_s
+        win_gidx, entry_valid, counts = _windows_sort(
+            bounds_v, cfg, order_v=order_v)
+        # packed stays [N, 13] elementwise — NOT checkpoint-named: at 27 MB
+        # per 512² view it must not be saved across the per-view remat
+        # (pack_surfels is a cheap recompute; the integer windows are saved)
+        packed = pack_surfels(g)
+        binned = BinnedView(order_v=order_v, inv_order=None,
+                            win_gidx=win_gidx, entry_valid=entry_valid,
+                            counts=counts, slot_pos=None)
+        binned = jax.tree.map(
+            lambda a: checkpoint_name(a, "raster_bin"), binned)
+        return packed, binned
+
     order = jnp.argsort(jnp.where(g.valid, g.depth, jnp.inf))
     order_v = jax.lax.slice_in_dim(order, 0, v) if v < n else order
     from lara_tpu.ops import gather as _gather
@@ -162,7 +203,6 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     # blend columns plus the bit-packed tile bounds as an exact-integer f32
     # column (values < 2^24 round-trip exactly; no arithmetic touches the
     # column between the cast and the cast back).
-    bounds_all = _pack_tile_bounds(g, cfg)
     pack14 = jnp.concatenate(
         [pack_surfels(g), bounds_all.astype(jnp.float32)[:, None]], axis=-1)
     packed14 = take_rows(pack14, order_v, inv_order)
@@ -178,7 +218,6 @@ def bin_view(g: ProjectedSurfels, cfg: RasterizeConfig):
     # instead of re-running the sorts/gathers in the backward
     # (models/remat.py:views_remat_policy). checkpoint_name is identity
     # outside a policied jax.checkpoint.
-    from jax.ad_checkpoint import checkpoint_name
     packed = checkpoint_name(packed, "raster_packed")
     binned = BinnedView(order_v=order_v, inv_order=inv_order,
                         win_gidx=win_gidx, entry_valid=entry_valid,
@@ -194,8 +233,13 @@ def _unpack_bounds(bounds_v: jnp.ndarray):
             (bounds_v >> (2 * b)) & mask, (bounds_v >> (3 * b)) & mask)
 
 
-def _windows_sort(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
-    """Tile windows via one stable 9V-key sort + searchsorted + slicing."""
+def _windows_sort(bounds_v: jnp.ndarray, cfg: RasterizeConfig, order_v=None):
+    """Tile windows via one 9V-key sort + searchsorted + slicing.
+
+    With `order_v` (pack_mode "fused"): the key sort carries each slot's
+    ORIGINAL surfel row id as a variadic value operand and the windows
+    return those ids directly — the blend gathers from the un-permuted
+    [N, 13] pack and no compacted attribute rows ever exist."""
     n = bounds_v.shape[0]
     tx_lo, ty_lo, tx_hi, ty_hi = _unpack_bounds(bounds_v)
 
@@ -209,7 +253,11 @@ def _windows_sort(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
 
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, d * d), 0)
     keys = ((tile_id << _GIDX_BITS) | gidx).reshape(-1)
-    sorted_keys = jax.lax.sort(keys)
+    if order_v is None:
+        sorted_keys = jax.lax.sort(keys)
+    else:
+        orig_rep = jnp.broadcast_to(order_v[:, None], (n, d * d)).reshape(-1)
+        sorted_keys, sorted_orig = jax.lax.sort((keys, orig_rep), num_keys=1)
 
     # Keep the dependent gathers in separate XLA computations: fusing the
     # searchsorted → window-keys → row-gather chain serializes the gathers
@@ -222,15 +270,22 @@ def _windows_sort(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
 
     k_budget = cfg.tile_budget
     starts = jax.lax.optimization_barrier(starts)
-    # Window keys as one flat [T, K] element gather over the padded sorted
-    # array (measured faster than T dynamic slices: 1.18 vs 1.37 ms).
-    # Padding with K sentinel keys keeps entry k at exactly sorted position
-    # starts[t]+k; overhang rows are invalid-marked via counts.
-    padded = jnp.concatenate(
-        [sorted_keys, jnp.full((k_budget,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+    # Window entries as one flat [T, K] element gather over the padded
+    # sorted array (measured faster than T dynamic slices: 1.18 vs 1.37 ms).
+    # Padding with K sentinel entries keeps entry k at exactly sorted
+    # position starts[t]+k; overhang rows are invalid-marked via counts.
     flat = starts[:, None] + jnp.arange(k_budget, dtype=jnp.int32)[None, :]
-    win_keys = jax.lax.optimization_barrier(padded[flat])        # [T, K]
-    win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
+    if order_v is None:
+        padded = jnp.concatenate(
+            [sorted_keys,
+             jnp.full((k_budget,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+        win_keys = jax.lax.optimization_barrier(padded[flat])    # [T, K]
+        win_gidx = win_keys & ((1 << _GIDX_BITS) - 1)
+    else:
+        # gather the carried original ids (sentinel 0 — masked by counts)
+        padded = jnp.concatenate(
+            [sorted_orig, jnp.zeros((k_budget,), jnp.int32)])
+        win_gidx = jax.lax.optimization_barrier(padded[flat])    # [T, K]
     counts = jnp.minimum(counts, k_budget)
     entry_valid = jnp.arange(k_budget, dtype=jnp.int32)[None, :] < counts[:, None]
     return win_gidx, entry_valid, counts
@@ -332,10 +387,15 @@ def _windows_count(bounds_v: jnp.ndarray, cfg: RasterizeConfig):
     return win_gidx, entry_valid, counts, pos[:v]
 
 
-def repack_from_binned(g: ProjectedSurfels, binned: BinnedView) -> jnp.ndarray:
-    """Packed rows for a re-render: the cached depth-compaction order
-    applied to a fresh preprocess of the same geometry (new colors /
-    opacities) — one row gather, no sort, no window construction."""
+def repack_from_binned(g: ProjectedSurfels, binned: BinnedView,
+                       cfg: RasterizeConfig) -> jnp.ndarray:
+    """Packed rows for a re-render of the same geometry (new colors /
+    opacities) through cached tile windows — no sort, no window
+    construction. Fused pack_mode: purely elementwise (the windows hold
+    original ids); gather mode: one row gather into the cached depth
+    order."""
+    if cfg.pack_mode == "fused" and cfg.bin_mode != "count":
+        return pack_surfels(g)
     from jax.ad_checkpoint import checkpoint_name
     packed = take_rows(pack_surfels(g), binned.order_v, binned.inv_order)
     return checkpoint_name(packed, "raster_packed")

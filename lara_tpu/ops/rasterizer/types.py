@@ -49,13 +49,10 @@ class RasterizeConfig:
     # overhead; must divide the tile count).
     pallas_chunk: int = 32
     pallas_tiles_per_step: int = 4
-    # Batch the per-step tiles into ONE chunk while_loop (vmapped chunk
-    # math, shared exit test) instead of one loop per tile: divides the
-    # sequential loop-iteration count — the scalar-core sync overhead —
-    # by tiles_per_step, at the cost of early-exiting only when ALL
-    # grouped tiles are done. Identical outputs/gradients (dead tiles
-    # contribute exactly zero through the same live/evalid masks).
-    pallas_batch_tiles: bool = False
+    # (A tiles-per-step-batched kernel mode — one shared chunk while_loop
+    # over [tpg, C, P] — existed through round 4 but could never compile
+    # on real TPU: two independent Mosaic lowering bugs on the [tpg,1,1]
+    # per-tile count vector; see _tile_consts in pallas_blend.py. Removed.)
     # Stash each chunk's carry-in (plus the processed-chunk count) as an
     # extra forward-kernel output (~8.4 MB at the production config) so
     # the backward kernel skips its in-kernel forward replay — trades one
@@ -81,13 +78,30 @@ class RasterizeConfig:
     #          reference's radix sort (SURVEY §2.3 step 3) has no MXU to
     #          lean on — this is the TPU-shaped replacement.
     bin_mode: str = "sort"
-    # Per-chunk prefix-sum algorithm inside the Pallas blend kernels
-    # ("dot" | "shift"):
+    # Depth-compaction data movement ("gather" | "fused"):
+    #   gather: one wide [V, 14] row gather into depth order (default; also
+    #           always used by bin_mode="count", whose slot_pos inverse is
+    #           defined over compacted rows).
+    #   fused:  no packed-row gather — tile bounds ride the depth sort and
+    #           the window key sort carries original surfel row ids, so the
+    #           one window gather reads the un-permuted [N, 13] pack.
+    #           MEASURED SLOWER on TPU v5e at the production config
+    #           (fwd 125.7 vs 127.8 fps, fwd+bwd 42.0 vs 47.4): the saved
+    #           pack gather is repaid to the KV window sort, and the
+    #           backward's scatter-add lands in [N, 13] (524k rows) instead
+    #           of [V, 13] + a masked gather. Kept for A/B regression.
+    pack_mode: str = "gather"
+    # Per-chunk prefix-scan algorithm inside the Pallas blend kernels
+    # ("dot" | "shift" | "prod"):
     #   dot:   [C,C]@[C,P] lower-triangular matmuls (fp32 HIGHEST runs the
     #          MXU multi-pass — 4 dots ≈ 8.4 MFLOP/chunk);
     #   shift: log2(C) shifted adds (Hillis–Steele) on the VPU — exact f32,
-    #          ~20× fewer ops; same values up to addition order.
-    pallas_cumsum: str = "dot"
+    #          ~20× fewer ops; same values up to addition order;
+    #   prod:  shift, plus transmittance tracked MULTIPLICATIVELY
+    #          (T ← T·(1−α), the CUDA recurrence) instead of in log domain —
+    #          drops log1p + exp(cumsum), 2 of the 3 transcendentals per
+    #          entry-pixel, in the forward and its VJP.
+    pallas_cumsum: str = "shift"
 
     def __post_init__(self):
         assert self.height % self.tile == 0 and self.width % self.tile == 0, (

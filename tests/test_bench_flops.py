@@ -145,9 +145,10 @@ def test_blend_component_counts_kernel_dots():
     expect = 2 * B * 2 * cfg.n_views * chunk_steps * 4 * per_dot
     assert comps["blend"] == pytest.approx(expect, rel=1e-9)
 
-    shift_cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render, pallas_cumsum="shift"))
-    assert bench.analytic_flops_components(shift_cfg, B, H, H)["blend"] == 0.0
+    for mode in ("shift", "prod"):   # no MXU dots in either scan mode
+        mcfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, pallas_cumsum=mode))
+        assert bench.analytic_flops_components(mcfg, B, H, H)["blend"] == 0.0
 
 
 def test_total_is_3x_forward_sum():

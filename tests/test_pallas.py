@@ -103,7 +103,8 @@ def test_pallas_gradients_match_tiled(monkeypatch):
 
 @pytest.mark.parametrize("chunk,tpg,cumsum", [
     (32, 1, "dot"), (64, 2, "dot"), (64, 4, "dot"),
-    (32, 1, "shift"), (64, 4, "shift")])
+    (32, 1, "shift"), (64, 4, "shift"),
+    (32, 1, "prod"), (64, 4, "prod")])
 def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg, cumsum):
     """pallas_chunk / pallas_tiles_per_step / pallas_cumsum must not change
     values or grads (shift mode reassociates additions — tolerance-level)."""
@@ -137,16 +138,11 @@ def test_pallas_kernel_knobs_equivalence(monkeypatch, chunk, tpg, cumsum):
                                atol=5e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("budget,stash", [(64, False), (16, False),
-                                          (64, True), (16, True)])
-def test_batched_tile_loop_matches_per_tile(monkeypatch, budget, stash):
-    """pallas_batch_tiles=True (one shared chunk loop per grid step) and
-    pallas_stash_carries=True (replay-free backward) must reproduce the
-    per-tile-loop kernels exactly — outputs AND gradients: tiles past
-    their own early exit contribute identically-zero terms, and stashed
-    carries are bitwise the replayed ones."""
-    import dataclasses
-
+@pytest.mark.parametrize("budget", [64, 16])
+def test_stash_carries_matches_replay(monkeypatch, budget):
+    """pallas_stash_carries=True (replay-free backward from forward-stashed
+    chunk carries) must reproduce the replaying backward exactly — outputs
+    AND gradients: stashed carries are bitwise the replayed ones."""
     pb, orig, patched = _pallas_interpret()
     monkeypatch.setattr(pb.pl, "pallas_call", patched)
     from lara_tpu.ops.rasterizer.pallas import rasterize_pallas
@@ -155,10 +151,9 @@ def test_batched_tile_loop_matches_per_tile(monkeypatch, budget, stash):
     means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(11), 300)
     bg = jnp.array([0.6, 0.3, 0.1])
 
-    def run(batch_tiles, m, o):
+    def run(stash, m, o):
         cfg = make_cfg(tile_budget=budget, dup=2, backend="pallas",
                        pallas_chunk=min(32, budget),
-                       pallas_batch_tiles=batch_tiles,
                        pallas_stash_carries=stash)
         out = rasterize_pallas(m, shs, o, scales, quats, cam, bg, cfg)
         return out
@@ -166,24 +161,17 @@ def test_batched_tile_loop_matches_per_tile(monkeypatch, budget, stash):
     a = run(False, means, op)
     b = run(True, means, op)
     for name, fa, fb in zip(a._fields, a, b):
-        if name == "distortion":
-            # XLA reassociates the distortion polynomial (FMA fusion)
-            # differently between the two kernel graphs — everything else
-            # is bitwise identical
-            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
-                                       atol=1e-6)
-        else:
-            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
-    def loss(batch_tiles, m, o):
-        out = run(batch_tiles, m, o)
+    def loss(stash, m, o):
+        out = run(stash, m, o)
         return (out.image.sum() + out.alpha.sum() + out.distortion.sum()
                 + out.depth_expected.sum() + out.normal.sum())
 
     ga = jax.grad(lambda m, o: loss(False, m, o), argnums=(0, 1))(means, op)
     gb = jax.grad(lambda m, o: loss(True, m, o), argnums=(0, 1))(means, op)
     for x, y in zip(ga, gb):
-        # distortion-polynomial reassociation (see above) reaches the
-        # gradients through its vjp — tolerance instead of equality
+        # the two backward graphs fuse/reassociate FMAs differently —
+        # tolerance instead of bitwise equality (values above ARE bitwise)
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-6)

@@ -504,3 +504,35 @@ class TestCountingSortBinning:
         for x, y in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_pack_mode_fused_matches_gather():
+    """pack_mode="fused" (windows hold original surfel ids; no pack row
+    gather) must reproduce pack_mode="gather" (legacy depth-order row
+    gather) — identical forward outputs and matching gradients. The depth
+    sort is stable in both modes, so the composite order is identical."""
+    cam = front_camera()
+    means, shs, op, scales, quats = random_scene(jax.random.PRNGKey(3), 400)
+    bg = jnp.array([0.2, 0.4, 0.6])
+
+    def render(pack_mode, m, o):
+        cfg = make_cfg(tile_budget=64, dup=2, visible_budget=256,
+                       pack_mode=pack_mode)
+        return rasterize_tiled(m, shs, o, scales, quats, cam, bg, cfg)
+
+    a = render("gather", means, op)
+    b = render("fused", means, op)
+    for name, fa, fb in zip(a._fields, a, b):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   atol=1e-5, err_msg=name)
+
+    def loss(pack_mode, m, o):
+        out = render(pack_mode, m, o)
+        return (out.image.sum() + out.alpha.sum() + out.distortion.sum()
+                + out.depth_expected.sum() + out.normal.sum())
+
+    ga = jax.grad(lambda m, o: loss("gather", m, o), argnums=(0, 1))(means, op)
+    gb = jax.grad(lambda m, o: loss("fused", m, o), argnums=(0, 1))(means, op)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)

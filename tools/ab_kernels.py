@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """A/B the round-3 rasterizer levers at the production workload:
-bin_mode (sort | count) × pallas_batch_tiles × pallas_stash_carries,
+bin_mode (sort | count) × pallas_stash_carries × pallas_cumsum,
 fwd and fwd+bwd, plus a tiles_per_step sweep for the winning combo.
 
 Prints one table; run on the real TPU. Each cell is a best-of-3 slope
@@ -92,24 +92,24 @@ def main():
                           lambda o: float(jnp.sum(o[0][0])), trials)
         return t_f, t_fb
 
-    print(f"{'bin':6s} {'batch':6s} {'stash':6s} {'fwd ms':>8s} {'fps':>7s} "
+    print(f"{'bin':6s} {'cumsum':6s} {'stash':6s} {'fwd ms':>8s} {'fps':>7s} "
           f"{'f+b ms':>8s} {'fps':>7s}")
     results = {}
-    for bin_mode, batch, stash in itertools.product(
-            ("sort", "count"), (False, True), (False, True)):
-        if stash and not batch and a.quick:
+    for bin_mode, cumsum, stash in itertools.product(
+            ("sort", "count"), ("dot", "shift"), (False, True)):
+        if not stash and a.quick:
             continue
         cfg = dataclasses.replace(base, bin_mode=bin_mode,
-                                  pallas_batch_tiles=batch,
+                                  pallas_cumsum=cumsum,
                                   pallas_stash_carries=stash)
         try:
             t_f, t_fb = timed(cfg)
-            results[(bin_mode, batch, stash)] = (t_f, t_fb)
-            print(f"{bin_mode:6s} {str(batch):6s} {str(stash):6s} "
+            results[(bin_mode, cumsum, stash)] = (t_f, t_fb)
+            print(f"{bin_mode:6s} {cumsum:6s} {str(stash):6s} "
                   f"{t_f * 1e3:8.2f} {1 / t_f:7.1f} "
                   f"{t_fb * 1e3:8.2f} {1 / t_fb:7.1f}", flush=True)
         except Exception as e:
-            print(f"{bin_mode:6s} {str(batch):6s} {str(stash):6s} "
+            print(f"{bin_mode:6s} {cumsum:6s} {str(stash):6s} "
                   f"FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 
     if a.quick or not results:
@@ -118,7 +118,7 @@ def main():
     print(f"\nbest fwd+bwd: {best}; tiles_per_step sweep:")
     for tps in (2, 4, 8, 16):
         cfg = dataclasses.replace(
-            base, bin_mode=best[0], pallas_batch_tiles=best[1],
+            base, bin_mode=best[0], pallas_cumsum=best[1],
             pallas_stash_carries=best[2], pallas_tiles_per_step=tps)
         try:
             t_f, t_fb = timed(cfg)

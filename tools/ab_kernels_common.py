@@ -52,10 +52,9 @@ def make_timed_render(trials=3):
         visible_budget=r.visible_budget,
         pallas_chunk=min(r.pallas_chunk, r.tile_budget),
         pallas_tiles_per_step=r.pallas_tiles_per_step,
-        pallas_batch_tiles=r.pallas_batch_tiles,
         pallas_stash_carries=r.pallas_stash_carries,
         pallas_cumsum=r.pallas_cumsum,
-        bin_mode=r.bin_mode, backend="pallas")
+        bin_mode=r.bin_mode, pack_mode=r.pack_mode, backend="pallas")
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)

@@ -44,10 +44,8 @@ def main():
                     help="take_rows transpose mode (lara_tpu.ops.gather)")
     ap.add_argument("--window-mode", default=None, choices=["xla", "lazy"],
                     help="window_gather transpose mode")
-    ap.add_argument("--cumsum", default=None, choices=["dot", "shift"],
+    ap.add_argument("--cumsum", default=None, choices=["dot", "shift", "prod"],
                     help="pallas blend per-chunk prefix-sum algorithm")
-    ap.add_argument("--batch-tiles", action="store_true",
-                    help="one shared chunk while_loop per grid step")
     args = ap.parse_args()
 
     from lara_tpu.ops import gather as gather_mod
@@ -80,7 +78,7 @@ def main():
         pallas_chunk=min(args.chunk or r.pallas_chunk, args.tile_budget),
         pallas_tiles_per_step=args.tpg or r.pallas_tiles_per_step,
         pallas_cumsum=args.cumsum or r.pallas_cumsum,
-        pallas_batch_tiles=args.batch_tiles, backend="pallas")
+        backend="pallas")
 
     means, shs, op_raw, sc_raw, quats = lara_workload()
     c2w = jnp.eye(4).at[2, 3].set(-1.8)

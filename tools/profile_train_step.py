@@ -81,8 +81,6 @@ def build_row(row):
     r = cfg.render
     if os.environ.get("LARA_BIN_MODE", ""):
         r = dataclasses.replace(r, bin_mode=os.environ["LARA_BIN_MODE"])
-    if os.environ.get("LARA_BATCH_TILES", "") == "1":
-        r = dataclasses.replace(r, pallas_batch_tiles=True)
     if os.environ.get("LARA_STASH", "") == "1":
         r = dataclasses.replace(r, pallas_stash_carries=True)
     if m is not cfg.model or r is not cfg.render:
