@@ -56,13 +56,16 @@ def main():
     qn = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
 
     def render(cfg):
-        return jax.jit(lambda: rasterize(means, shs, op, sc, qn, cam, bg,
-                                         cfg).image)
+        # args passed through jit (a nullary closure constant-folds: XLA
+        # folded the whole reference render into a constant, timing 0 ms)
+        return jax.jit(lambda m, s, o, c, q: rasterize(
+            m, s, o, c, q, cam, bg, cfg).image)
 
     # reference: the current eval budgets
     ref_cfg = cfg_for(r.eval_tile_budget, r.eval_visible_budget)
     ref_fn = render(ref_cfg)
-    ref = jax.block_until_ready(ref_fn())
+    args = (means, shs, op, sc, qn)
+    ref = jax.block_until_ready(ref_fn(*args))
 
     grid = [
         (r.eval_tile_budget, r.eval_visible_budget),
@@ -72,7 +75,8 @@ def main():
     ]
     print(f"{'tileK':>6s} {'visK':>8s} {'ms':>8s} {'fps':>7s} {'psnr':>7s}")
     for tk, vk in grid:
-        fn = render(cfg_for(tk, vk))
+        fn0 = render(cfg_for(tk, vk))
+        fn = lambda: fn0(*args)
         img = jax.block_until_ready(fn())
         # slope timing
         def run(reps):
