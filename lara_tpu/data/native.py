@@ -9,8 +9,12 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 
 import numpy as np
+
+# serializes h5py read_direct_chunk calls (see h5_read)
+_RDC_LOCK = threading.Lock()
 
 _LIB = None
 _TRIED = False
@@ -115,25 +119,37 @@ def h5_read(dset) -> np.ndarray:
     shape, chunks, dtype = dset.shape, dset.chunks, dset.dtype
     out = np.empty(shape, dtype)
     dsid = dset.id
-    if tuple(chunks) == tuple(shape):  # whole-array chunk: inflate in place
-        _, comp = dsid.read_direct_chunk((0,) * len(shape))
-        if lib.inflate_zlib(comp, len(comp), _up(out), out.nbytes) == 0:
-            return out
-        return np.asarray(dset)
-
-    import itertools
-    tmp = np.empty(chunks, dtype)
-    for off in itertools.product(*[range(0, s, c)
-                                   for s, c in zip(shape, chunks)]):
-        mask, comp = dsid.read_direct_chunk(off)
-        if mask != 0 or lib.inflate_zlib(comp, len(comp),
-                                         _up(tmp), tmp.nbytes) != 0:
+    try:
+        # Raw chunk reads are serialized: concurrent read_direct_chunk on a
+        # shared File handle raced in the threaded loader (RuntimeError
+        # "Unspecified error in H5Dread_chunk" killed a training run) even
+        # though stock h5py reads never did. The lock costs little — the
+        # raw read is a short metadata+copy op; the libdeflate inflate
+        # below stays outside it and runs GIL-free in parallel.
+        if tuple(chunks) == tuple(shape):  # whole-array chunk
+            with _RDC_LOCK:
+                _, comp = dsid.read_direct_chunk((0,) * len(shape))
+            if lib.inflate_zlib(comp, len(comp), _up(out), out.nbytes) == 0:
+                return out
             return np.asarray(dset)
-        spans = [min(c, s - o) for o, s, c in zip(off, shape, chunks)]
-        dst = tuple(slice(o, o + n) for o, n in zip(off, spans))
-        src = tuple(slice(0, n) for n in spans)
-        out[dst] = tmp[src]
-    return out
+
+        import itertools
+        tmp = np.empty(chunks, dtype)
+        for off in itertools.product(*[range(0, s, c)
+                                       for s, c in zip(shape, chunks)]):
+            with _RDC_LOCK:
+                mask, comp = dsid.read_direct_chunk(off)
+            if mask != 0 or lib.inflate_zlib(comp, len(comp),
+                                             _up(tmp), tmp.nbytes) != 0:
+                return np.asarray(dset)
+            spans = [min(c, s - o) for o, s, c in zip(off, shape, chunks)]
+            dst = tuple(slice(o, o + n) for o, n in zip(off, spans))
+            src = tuple(slice(0, n) for n in spans)
+            out[dst] = tmp[src]
+        return out
+    except Exception:
+        # never let the fast path kill a run — stock h5py read instead
+        return np.asarray(dset)
 
 
 def build_rays_batch(c2ws: np.ndarray, ixts: np.ndarray, H: int, W: int,
