@@ -13,6 +13,8 @@ bg-color augmentation {0, 0.5, 1} on supervision views during training.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from lara_tpu.config import DatasetConfig
@@ -21,13 +23,16 @@ from lara_tpu.utils.camera import canonicalize_cameras_np, fov_to_ixt
 
 class GObjaverseDataset:
     def __init__(self, cfg: DatasetConfig, rng: np.random.Generator | None = None):
-        import h5py
-
         self.cfg = cfg
         self.split = cfg.split
         self.img_size = np.array(cfg.img_size)
         self.n_group = cfg.n_group
-        self.metas = h5py.File(cfg.data_root, "r")
+        # One HDF5 handle PER THREAD: libhdf5 is not thread-safe and h5py's
+        # API lock does not cover the raw-chunk read path — a shared handle
+        # under the threaded loader segfaulted inside libhdf5 (round 5).
+        # Handles are opened lazily on each thread's first access.
+        self._h5_path = cfg.data_root
+        self._h5_local = threading.local()
         scenes_name = np.array(sorted(self.metas.keys()))
 
         if "splits" in scenes_name:
@@ -41,6 +46,16 @@ class GObjaverseDataset:
                 scenes_name[i_train] if self.split == "train" else scenes_name[i_test]
             )
         self.rng = rng or np.random.default_rng(0)
+
+    @property
+    def metas(self):
+        """This thread's HDF5 file handle (see __init__)."""
+        f = getattr(self._h5_local, "f", None)
+        if f is None:
+            import h5py
+            f = h5py.File(self._h5_path, "r")
+            self._h5_local.f = f
+        return f
 
     def __len__(self):
         return len(self.scenes_name)
