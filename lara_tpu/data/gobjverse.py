@@ -64,7 +64,7 @@ class GObjaverseDataset:
         """Group-based view sampling (dataLoader/gobjverse.py:45-53): during
         training draw one random member of each of the n_group clusters for
         inputs and again for supervision; at eval use deterministic cluster
-        representatives."""
+        representatives. Caller holds H5_LOCK."""
         g = scene_info["groups"]
         n = self.n_group
         if self.split == "train" and n > 1:
@@ -80,12 +80,14 @@ class GObjaverseDataset:
         return src + [int(g[f"groups_4_{i}"][-1]) for i in range(4)]
 
     def __getitem__(self, index: int) -> dict:
-        scene_name = str(self.scenes_name[index])
-        scene_info = self.metas[scene_name]
-        view_id = self._sample_views(scene_info)
+        from lara_tpu.data.native import (H5_LOCK, build_rays_batch,
+                                          composite_rgba, decode_normal,
+                                          h5_read)
 
-        from lara_tpu.data.native import (build_rays_batch, composite_rgba,
-                                          decode_normal, h5_read)
+        scene_name = str(self.scenes_name[index])
+        with H5_LOCK:  # all libhdf5 entry points serialized (see native.py)
+            scene_info = self.metas[scene_name]
+            view_id = self._sample_views(scene_info)
 
         imgs, bg_colors, nrms, msks, c2ws, w2cs, ixts = [], [], [], [], [], [], []
         for i, idx in enumerate(view_id):
@@ -104,8 +106,9 @@ class GObjaverseDataset:
                 # canonicalization transform is known (decode_normal)
                 nrms.append(h5_read(scene_info[f"normal_{idx}"]))
 
-            c2w = np.asarray(scene_info[f"c2w_{idx}"], np.float32)
-            fov = np.asarray(scene_info[f"fov_{idx}"], np.float32)
+            with H5_LOCK:
+                c2w = np.asarray(scene_info[f"c2w_{idx}"], np.float32)
+                fov = np.asarray(scene_info[f"fov_{idx}"], np.float32)
             c2ws.append(c2w)
             w2cs.append(np.linalg.inv(c2w))
             ixts.append(fov_to_ixt(fov, self.img_size))
@@ -118,7 +121,8 @@ class GObjaverseDataset:
         tar_c2ws, tar_w2cs, transform_mats = canonicalize_cameras_np(tar_c2ws, tar_w2cs)
 
         H, W = int(self.img_size[1]), int(self.img_size[0])
-        fov0 = np.asarray(scene_info["fov_0"], np.float32)
+        with H5_LOCK:
+            fov0 = np.asarray(scene_info["fov_0"], np.float32)
         ret = {
             "fovx": np.float32(fov0[0]),
             "fovy": np.float32(fov0[1]),

@@ -13,8 +13,15 @@ import threading
 
 import numpy as np
 
-# serializes h5py read_direct_chunk calls (see h5_read)
-_RDC_LOCK = threading.Lock()
+# ONE process-global lock for ALL h5py/libhdf5 calls: this libhdf5 build
+# keeps process-global internal state (metadata cache, ID tables) that is
+# not safe under concurrent access from multiple threads EVEN THROUGH
+# SEPARATE File handles — two independent segfaults inside libhdf5 killed
+# round-5 training runs (per-thread handles did not cure the second).
+# Everything that enters libhdf5 takes this lock; the libdeflate inflate
+# stays outside it and still runs GIL-free in parallel.
+H5_LOCK = threading.RLock()
+_RDC_LOCK = H5_LOCK  # historical alias (raw-chunk reads)
 
 _LIB = None
 _TRIED = False
@@ -107,18 +114,21 @@ def h5_read(dset) -> np.ndarray:
     whose filters were skipped) falls back to the stock h5py read."""
     lib = _load()
     try:
-        eligible = (lib is not None and hasattr(lib, "inflate_zlib")
-                    and dset.compression == "gzip"
-                    and not dset.shuffle and not dset.fletcher32
-                    and dset.chunks is not None and dset.shape != ())
+        with H5_LOCK:
+            eligible = (lib is not None and hasattr(lib, "inflate_zlib")
+                        and dset.compression == "gzip"
+                        and not dset.shuffle and not dset.fletcher32
+                        and dset.chunks is not None and dset.shape != ())
     except Exception:
         eligible = False
     if not eligible:
-        return np.asarray(dset)
+        with H5_LOCK:
+            return np.asarray(dset)
 
-    shape, chunks, dtype = dset.shape, dset.chunks, dset.dtype
+    with H5_LOCK:
+        shape, chunks, dtype = dset.shape, dset.chunks, dset.dtype
+        dsid = dset.id
     out = np.empty(shape, dtype)
-    dsid = dset.id
     try:
         # Raw chunk reads are serialized: concurrent read_direct_chunk on a
         # shared File handle raced in the threaded loader (RuntimeError
@@ -131,7 +141,8 @@ def h5_read(dset) -> np.ndarray:
                 _, comp = dsid.read_direct_chunk((0,) * len(shape))
             if lib.inflate_zlib(comp, len(comp), _up(out), out.nbytes) == 0:
                 return out
-            return np.asarray(dset)
+            with H5_LOCK:
+                return np.asarray(dset)
 
         import itertools
         tmp = np.empty(chunks, dtype)
@@ -141,7 +152,8 @@ def h5_read(dset) -> np.ndarray:
                 mask, comp = dsid.read_direct_chunk(off)
             if mask != 0 or lib.inflate_zlib(comp, len(comp),
                                              _up(tmp), tmp.nbytes) != 0:
-                return np.asarray(dset)
+                with H5_LOCK:
+                    return np.asarray(dset)
             spans = [min(c, s - o) for o, s, c in zip(off, shape, chunks)]
             dst = tuple(slice(o, o + n) for o, n in zip(off, spans))
             src = tuple(slice(0, n) for n in spans)
@@ -149,7 +161,8 @@ def h5_read(dset) -> np.ndarray:
         return out
     except Exception:
         # never let the fast path kill a run — stock h5py read instead
-        return np.asarray(dset)
+        with H5_LOCK:
+            return np.asarray(dset)
 
 
 def build_rays_batch(c2ws: np.ndarray, ixts: np.ndarray, H: int, W: int,
